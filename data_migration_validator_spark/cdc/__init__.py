@@ -1,0 +1,4 @@
+from .apply import EVENT_FIELD_IDS, apply_batch, dedup_last_writer_wins  # noqa: F401
+from .events import change_events, write_events_batched  # noqa: F401
+from .oracle import expected_final_state  # noqa: F401
+from .replay import replay  # noqa: F401

@@ -1,0 +1,61 @@
+"""Batch replay loop: ordered micro-batches → apply_batch, exactly-once.
+
+Used by tests and the bench harness.  The streaming path
+(``streaming.stream``) wraps the same ``apply_batch`` in foreachBatch; the
+replay loop is the deterministic, offset-explicit equivalent (the
+reference's unvalidated-COMPLETED-batch discovery loop,
+``migration-data-validation.py:1792-1830``, without the manual SQL
+bookkeeping — our commit log IS the bookkeeping).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from ..lake.table import LakeTable
+from .apply import apply_batch
+
+
+def replay(
+    table: LakeTable,
+    events_dir: str,
+    lineage: LakeTable | None = None,
+    batch_ids: list[int] | None = None,
+    salt_buckets: int = 16,
+) -> dict:
+    """Replay batched events (written by ``write_events_batched``) in order.
+
+    Each batch is read with directory pruning (``batch_hint=<id>/``), applied
+    idempotently, and committed.  Re-running after a crash (or calling with
+    overlapping ``batch_ids``) re-applies nothing.
+    """
+    spark: SparkSession = table.spark
+    if batch_ids is None:
+        batch_ids = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(events_dir)
+            if d.startswith("batch_hint=")
+        )
+    t0 = time.monotonic()
+    n_applied = n_skipped = total_upserted = total_deleted = 0
+    for bid in batch_ids:
+        batch_df = spark.read.parquet(os.path.join(events_dir, f"batch_hint={bid}"))
+        stats = apply_batch(
+            table, batch_df, batch_id=bid, lineage=lineage, salt_buckets=salt_buckets
+        )
+        if stats.get("skipped"):
+            n_skipped += 1
+        else:
+            n_applied += 1
+            total_upserted += stats.get("rows_upserted", 0)
+            total_deleted += stats.get("rows_deleted", 0)
+    return {
+        "batches_applied": n_applied,
+        "batches_skipped": n_skipped,
+        "rows_upserted": total_upserted,
+        "rows_deleted": total_deleted,
+        "wall_s": time.monotonic() - t0,
+    }

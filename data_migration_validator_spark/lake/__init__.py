@@ -1,0 +1,2 @@
+from .schema import TableSchema, can_widen  # noqa: F401
+from .table import LakeTable  # noqa: F401

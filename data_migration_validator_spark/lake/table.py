@@ -1,0 +1,401 @@
+"""LakeTable — a from-scratch lake table format on parquet.
+
+No Iceberg/Delta jars ship in this sandbox, so the engine implements the
+needed subset itself, Spark-first:
+
+- **Manifest JSON snapshots** (``_manifest/v<seq>.json``): schema registry
+  (column-id based, historical schemas kept), partition spec
+  (``bucket(N, source_col)``), live data-file list with per-file bucket +
+  row count + writer schema id.  Commit = atomic ``os.replace`` of the next
+  manifest version; readers resolve the max version (optimistic concurrency:
+  a losing writer's replace would collide on seq — single-writer here).
+- **Bucketed data layout**: every key's rows live in exactly one bucket
+  (``pmod(xxhash64(source_col), N)``), so a MERGE only rewrites the buckets
+  its change-set touches — at 10^10-event scale with hot repos this is the
+  difference between rewriting GBs and rewriting the table.  Hot repos spread
+  across *files within* a bucket via the writer's repartition (SURVEY.md §7.4).
+- **Copy-on-write MERGE**: ``survivors = existing ⟕anti changes.keys`` ∪
+  ``upserts`` (deletes simply don't re-enter).  The anti-join broadcasts the
+  change-set when small (micro-batches usually are), so the table side never
+  shuffles; file pruning keeps the scan to touched buckets only.  Mirrors the
+  reference's MERGE sink (``conf/setup_validation_mapping.py:8-67``)
+  generalized to arbitrary key upsert+delete.
+- **Exactly-once commit log** (``_commits/<batch_id>.json``): the idempotent
+  batch-id sink of the north rule, generalizing the reference's "skip
+  already-SUMMARY_SUCCESS batches" (migration-data-validation.py:1816-1817).
+- **Schema evolution**: add / rename / widen produce a new schema id; old
+  files stay live and are projected to the current schema at read time by
+  field id (rename-safe) with casts (widen) and null fill (add).
+
+Driver-side metadata ops (footer row counts, file listing) are O(#files) and
+would be a manifest/stats service at 100 TB; the data plane is pure Spark.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+import uuid
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import TableSchema
+
+_MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class LakeTable:
+    """Handle to one lake table rooted at a local/posix directory."""
+
+    def __init__(self, spark: SparkSession, root: str, manifest: dict):
+        self.spark = spark
+        self.root = root
+        self.manifest = manifest
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: TableSchema | list[tuple[str, str]],
+        key_cols: list[str],
+        bucket_col: str | None = None,
+        num_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        if isinstance(schema, list):
+            schema = TableSchema.from_pairs(schema)
+        for k in key_cols:
+            if schema.field_by_name(k) is None:
+                raise ValueError(f"key column {k!r} not in schema")
+        bucket_col = bucket_col or key_cols[0]
+        os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        manifest = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "seq": 1,
+            "parent_seq": None,
+            "schema_id": 0,
+            "schemas": {"0": schema.to_json()},
+            "partition": {"num_buckets": num_buckets, "source": bucket_col},
+            "key_cols": list(key_cols),
+            "files": [],
+            "properties": properties or {},
+            "committed_at": time.time(),
+        }
+        t = LakeTable(spark, root, manifest)
+        t._write_manifest(manifest)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "LakeTable":
+        mdir = os.path.join(root, "_manifest")
+        versions = sorted(glob.glob(os.path.join(mdir, "v*.json")))
+        if not versions:
+            raise FileNotFoundError(f"no manifest under {mdir}")
+        with open(versions[-1]) as f:
+            manifest = json.load(f)
+        return LakeTable(spark, root, manifest)
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return bool(glob.glob(os.path.join(root, "_manifest", "v*.json")))
+
+    def _write_manifest(self, manifest: dict) -> None:
+        seq = manifest["seq"]
+        mdir = os.path.join(self.root, "_manifest")
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(mdir, f"v{seq:08d}.json")
+        if os.path.exists(final):
+            raise RuntimeError(f"concurrent commit detected at seq {seq}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, final)
+        self.manifest = manifest
+
+    def _next_manifest(self, **updates) -> dict:
+        m = json.loads(json.dumps(self.manifest))
+        m["parent_seq"] = m["seq"]
+        m["seq"] += 1
+        m["committed_at"] = time.time()
+        m.update(updates)
+        return m
+
+    # ------------------------------------------------------------------ #
+    # schema access / evolution
+    # ------------------------------------------------------------------ #
+    @property
+    def schema(self) -> TableSchema:
+        sid = str(self.manifest["schema_id"])
+        return TableSchema.from_json(self.manifest["schemas"][sid])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.manifest["key_cols"])
+
+    @property
+    def num_buckets(self) -> int:
+        return self.manifest["partition"]["num_buckets"]
+
+    @property
+    def bucket_source(self) -> str:
+        return self.manifest["partition"]["source"]
+
+    def _evolve(self, new_schema: TableSchema) -> None:
+        new_id = int(self.manifest["schema_id"]) + 1
+        m = self._next_manifest(schema_id=new_id)
+        m["schemas"][str(new_id)] = new_schema.to_json()
+        self._write_manifest(m)
+
+    def add_column(self, name: str, type_str: str) -> None:
+        self._evolve(self.schema.add_column(name, type_str))
+
+    def rename_column(self, old: str, new: str) -> None:
+        if old in self.key_cols or old == self.bucket_source:
+            # keep manifest key/bucket refs consistent through the rename
+            new_schema = self.schema.rename_column(old, new)
+            m = self._next_manifest(schema_id=int(self.manifest["schema_id"]) + 1)
+            m["schemas"][str(m["schema_id"])] = new_schema.to_json()
+            m["key_cols"] = [new if k == old else k for k in m["key_cols"]]
+            if m["partition"]["source"] == old:
+                m["partition"]["source"] = new
+            self._write_manifest(m)
+        else:
+            self._evolve(self.schema.rename_column(old, new))
+
+    def widen_type(self, name: str, to: str) -> None:
+        self._evolve(self.schema.widen_type(name, to))
+
+    # ------------------------------------------------------------------ #
+    # read path
+    # ------------------------------------------------------------------ #
+    def bucket_expr(self, col: str | None = None) -> F.Column:
+        src = col or self.bucket_source
+        return F.pmod(F.xxhash64(F.col(src)), F.lit(self.num_buckets)).cast("int")
+
+    def read(
+        self, buckets: list[int] | None = None, with_bucket: bool = False
+    ) -> DataFrame:
+        """Current-schema DataFrame over the live files.
+
+        ``buckets`` prunes at file level — the scan never touches untouched
+        buckets' files (MERGE relies on this).  Files are grouped by writer
+        schema id; each group is projected to the current schema by field id
+        (rename via id match, add via null literal, widen via cast), then the
+        groups union by name.
+        """
+        cur = self.schema
+        files = self.manifest["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            df = self.spark.createDataFrame([], cur.to_struct_type())
+            return df.withColumn("__bucket", F.lit(None).cast("int")) if with_bucket else df
+
+        by_schema: dict[str, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(str(f["schema_id"]), []).append(
+                os.path.join(self.root, f["path"])
+            )
+
+        parts: list[DataFrame] = []
+        for sid, paths in by_schema.items():
+            old = TableSchema.from_json(self.manifest["schemas"][sid])
+            raw = self.spark.read.parquet(*paths)
+            proj = []
+            for fld in cur.fields:
+                src_fld = old.field_by_id(fld.id)
+                if src_fld is None:
+                    proj.append(F.lit(None).cast(fld.type).alias(fld.name))
+                else:
+                    proj.append(F.col(src_fld.name).cast(fld.type).alias(fld.name))
+            parts.append(raw.select(*proj))
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+        if with_bucket:
+            df = df.withColumn("__bucket", self.bucket_expr())
+        return df
+
+    def to_df(self) -> DataFrame:
+        return self.read()
+
+    # ------------------------------------------------------------------ #
+    # write path
+    # ------------------------------------------------------------------ #
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Project an incoming frame to exactly the current schema (casting)."""
+        cur = self.schema
+        cols = set(df.columns)
+        proj = []
+        for fld in cur.fields:
+            if fld.name in cols:
+                proj.append(F.col(fld.name).cast(fld.type).alias(fld.name))
+            else:
+                proj.append(F.lit(None).cast(fld.type).alias(fld.name))
+        return df.select(*proj)
+
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Write ``df`` (current schema) as bucketed parquet; return file entries.
+
+        One shuffle on ``__bucket`` so each task writes whole buckets —
+        avoids the tasks×buckets small-file explosion.  AQE coalesces when
+        the rewrite is small; at scale, raise shuffle partitions so hot
+        buckets split across multiple files (maxRecordsPerFile).
+        """
+        snap_dir = f"data/snap-{self.manifest['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, snap_dir)
+        (
+            df.withColumn("__bucket", self.bucket_expr())
+            .repartition(F.col("__bucket"))
+            .write.option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        entries = []
+        for p in glob.glob(os.path.join(out, "__bucket=*", "*.parquet")):
+            bucket = int(p.split("__bucket=")[1].split(os.sep)[0])
+            rel = os.path.relpath(p, self.root)
+            entries.append(
+                {
+                    "path": rel,
+                    "bucket": bucket,
+                    "rows": _parquet_row_count(p),
+                    "schema_id": self.manifest["schema_id"],
+                }
+            )
+        return entries
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full-table replace (CTAS / initial load)."""
+        entries = self._write_files(self._conform(df))
+        self._write_manifest(self._next_manifest(files=entries))
+
+    def append(self, df: DataFrame) -> None:
+        """Blind append (reference S11: ``write.mode('append').saveAsTable``)."""
+        entries = self._write_files(self._conform(df))
+        m = self._next_manifest()
+        m["files"] = m["files"] + entries
+        self._write_manifest(m)
+
+    # ------------------------------------------------------------------ #
+    # MERGE (upsert + delete), exactly-once by batch_id
+    # ------------------------------------------------------------------ #
+    def has_batch(self, batch_id) -> bool:
+        return os.path.exists(
+            os.path.join(self.root, "_commits", f"batch-{batch_id}.json")
+        )
+
+    def _record_batch(self, batch_id, seq: int, stats: dict) -> None:
+        p = os.path.join(self.root, "_commits", f"batch-{batch_id}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "seq": seq, **stats}, f)
+        os.replace(tmp, p)
+
+    def merge(
+        self,
+        changes: DataFrame,
+        op_col: str = "op",
+        delete_value: str = "delete",
+        batch_id=None,
+        broadcast_changes: bool | None = None,
+        count_deletes: bool = True,
+    ) -> dict:
+        """Copy-on-write MERGE of a pre-deduped change-set.
+
+        ``changes``: exactly one row per key (last-writer-wins dedup happens
+        upstream in ``cdc.apply``), columns ⊇ current schema + ``op_col``.
+
+        Plan shape (the one you'd want at 100 TB):
+          1. touched buckets  ← distinct bucket of changes (tiny collect).
+          2. existing         ← file-pruned scan of ONLY those buckets.
+          3. survivors        ← existing LEFT ANTI broadcast(change keys)
+                                 — table side never shuffles for the join.
+          4. new bucket data  ← survivors ∪ upserts (deletes drop out).
+          5. one shuffle on __bucket to lay the rewrite out; commit manifest
+             swapping the touched buckets' files.
+
+        Returns stats {rows_upserted, rows_deleted, touched_buckets, skipped}.
+        """
+        if batch_id is not None and self.has_batch(batch_id):
+            return {"skipped": True, "batch_id": batch_id}
+
+        keys = self.key_cols
+        changes = changes.withColumn("__bucket", self.bucket_expr())
+        touched = [r[0] for r in changes.select("__bucket").distinct().collect()]
+
+        existing = self.read(buckets=touched)
+        change_keys = changes.select(*keys)
+        if broadcast_changes is None or broadcast_changes:
+            change_keys = F.broadcast(change_keys)
+        survivors = existing.join(change_keys, on=keys, how="left_anti")
+
+        upserts = self._conform(changes.filter(F.col(op_col) != delete_value))
+        rows_upserted = upserts.count()
+        rows_deleted = 0
+        if count_deletes:
+            deletes = changes.filter(F.col(op_col) == delete_value).select(*keys)
+            rows_deleted = deletes.join(
+                existing.select(*keys), on=keys, how="left_semi"
+            ).count()
+
+        new_data = survivors.unionByName(upserts)
+        entries = self._write_files(new_data)
+
+        touched_set = set(touched)
+        kept = [f for f in self.manifest["files"] if f["bucket"] not in touched_set]
+        m = self._next_manifest(files=kept + entries)
+        if batch_id is not None:
+            m["properties"]["last_batch_id"] = str(batch_id)
+        self._write_manifest(m)
+
+        stats = {
+            "skipped": False,
+            "rows_upserted": rows_upserted,
+            "rows_deleted": rows_deleted,
+            "touched_buckets": sorted(touched),
+            "seq": m["seq"],
+        }
+        if batch_id is not None:
+            self._record_batch(batch_id, m["seq"], stats)
+        return stats
+
+    # ------------------------------------------------------------------ #
+    # introspection
+    # ------------------------------------------------------------------ #
+    def history(self) -> list[dict]:
+        mdir = os.path.join(self.root, "_manifest")
+        out = []
+        for p in sorted(glob.glob(os.path.join(mdir, "v*.json"))):
+            with open(p) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "seq": m["seq"],
+                    "schema_id": m["schema_id"],
+                    "n_files": len(m["files"]),
+                    "rows": sum(f["rows"] for f in m["files"]),
+                    "committed_at": m["committed_at"],
+                }
+            )
+        return out
+
+    def row_count(self) -> int:
+        """Metadata-only count (sum of file footer counts)."""
+        return sum(f["rows"] for f in self.manifest["files"])

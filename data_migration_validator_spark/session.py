@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Defaults follow the sandbox contract (local[$SPARK_GRAFT_CPUS], 32 shuffle
+partitions) but every knob is overridable; on a real cluster the same code
+runs under ``spark-submit --py-files`` with the master supplied externally.
+
+AQE is always on: runtime coalescing + skew-join splitting are part of the
+engine's skew story alongside the explicit salting in ``cdc.apply``
+(north_rule: "partitioning / shuffle / skew handled explicitly").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_migration_validator_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` pins ``local[cores]`` — used by the bench harness to evidence
+    N-vs-4N scaling.  When None, respects $SPARK_GRAFT_CPUS (default 32).
+    """
+    n = cores if cores is not None else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
+    sp = shuffle_partitions if shuffle_partitions is not None else max(n, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

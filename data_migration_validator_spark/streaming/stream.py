@@ -1,0 +1,96 @@
+"""Structured Streaming ingest: readStream → foreachBatch(apply) → lake sink.
+
+The reference is batch-with-manual-bookkeeping (SURVEY.md §2.9); this module
+is the native-streaming re-expression:
+
+- source offsets + checkpoint (``option("checkpointLocation", …)``) replace
+  the unvalidated-COMPLETED-batch discovery SQL
+  (``migration-data-validation.py:1792-1818``);
+- ``foreachBatch(fn, batchId)`` replaces the ``_aud_batch_load_id IN (...)``
+  row scoping (``databricks-extract.py:172-178``);
+- exactly-once: foreachBatch is at-least-once on retry, so the sink is made
+  idempotent — ``apply_batch`` consults the lake table's batch commit log and
+  no-ops on a replayed batchId (SURVEY.md §7.4 known-hard part 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..cdc.apply import apply_batch
+from ..lake.table import LakeTable
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("schema_change", T.StringType()),
+        T.StructField("batch_hint", T.IntegerType()),
+    ]
+)
+
+
+def start_stream(
+    table: LakeTable,
+    events_dir: str,
+    checkpoint_dir: str,
+    lineage: LakeTable | None = None,
+    max_files_per_trigger: int = 4,
+    salt_buckets: int = 16,
+) -> StreamingQuery:
+    """Tail a growing directory of event files into the lake table."""
+    spark = table.spark
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+
+    def _sink(batch_df, batch_id: int):
+        apply_batch(
+            table,
+            batch_df,
+            batch_id=f"stream-{batch_id}",
+            lineage=lineage,
+            salt_buckets=salt_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_once(
+    table: LakeTable,
+    events_dir: str,
+    checkpoint_dir: str,
+    lineage: LakeTable | None = None,
+    max_files_per_trigger: int = 4,
+    timeout_s: int = 600,
+    salt_buckets: int = 16,
+) -> None:
+    """Run the stream to exhaustion of currently-available input (one
+    availableNow pass) and stop.  Safe to call repeatedly: the checkpoint
+    resumes from the recorded offsets, and the idempotent sink absorbs any
+    batch replayed across a kill/restart."""
+    q = start_stream(
+        table,
+        events_dir,
+        checkpoint_dir,
+        lineage=lineage,
+        max_files_per_trigger=max_files_per_trigger,
+        salt_buckets=salt_buckets,
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()

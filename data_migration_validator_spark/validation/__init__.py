@@ -1,0 +1,18 @@
+from .checks import primary_key_validation, timeline, windowed_validation  # noqa: F401
+from .reconcile import (  # noqa: F401
+    column_mismatch_metrics,
+    extras,
+    full_outer_report,
+    hash_reconcile,
+    reconcile_counts,
+    row_level_mismatches,
+    with_row_digest,
+)
+from .schema_check import (  # noqa: F401
+    default_compatibility_matrix,
+    name_type_check,
+    ordinal_check,
+    schema_store,
+    type_compatibility,
+)
+from .summary import validation_summary  # noqa: F401

@@ -1,0 +1,198 @@
+"""Row-level reconciliation: the reference's hash-based quick validation and
+full-outer comparison, re-expressed as single declarative Spark plans.
+
+Reference semantics reproduced here:
+
+- ``getHashAnomalies`` 4-way classification (matches / mismatches /
+  src_extras / tgt_extras) from two (key, row_hash) digest sets —
+  ``migration-data-validation.py:887-924``.  The reference runs one inner
+  join, one theta join and two anti joins (4 shuffles) and caps re-fetch at
+  1000 keys/side; we run ONE full outer join and derive all four classes
+  from presence + hash equality, uncapped (SURVEY.md §4: the cap was a
+  correctness-affecting workaround we drop).
+- per-column match/mismatch counts — the reference issues 4 correlated
+  scalar subqueries per column (``migration-data-validation.py:1156-1188``,
+  O(cols × 4) passes); we compute every column's counters in ONE aggregation
+  pass over the joined frame.
+- extras via LEFT ANTI (``migration-data-validation.py:895-897``), row-level
+  mismatches via EXCEPT ALL + join-back (``migration-data-validation.py:
+  1313-1334``), full-outer report with _src/_tgt suffixes
+  (``migration-data-validation.py:725-734, 766-832``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.digest import null_safe_string, row_digest, row_digest_pandas
+
+
+def with_row_digest(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    name: str = "row_hash",
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Append a sha256 row digest over ``cols`` (default: all columns, sorted
+    by name — the reference sorts mapped columns before hashing,
+    databricks-extract.py:126-154)."""
+    cols = sorted(df.columns) if cols is None else list(cols)
+    fn = row_digest_pandas if use_pandas else row_digest
+    return df.withColumn(name, fn(cols))
+
+
+def hash_reconcile(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    use_pandas_digest: bool = False,
+) -> DataFrame:
+    """Classified digest comparison: one row per key present on either side.
+
+    Output: key columns + src_hash + tgt_hash + status ∈
+    {MATCH, MISMATCH, SRC_EXTRA, TGT_EXTRA}.  SRC_EXTRA = key only in src
+    (missing in target); TGT_EXTRA = key only in tgt.
+    """
+    if compare_cols is None:
+        compare_cols = sorted(set(src.columns) & set(tgt.columns) - set(key_cols))
+    s = src.select(
+        *key_cols, row_digest(compare_cols).alias("src_hash")
+    ) if not use_pandas_digest else src.select(
+        *key_cols, row_digest_pandas(compare_cols).alias("src_hash")
+    )
+    t = tgt.select(
+        *key_cols, row_digest(compare_cols).alias("tgt_hash")
+    ) if not use_pandas_digest else tgt.select(
+        *key_cols, row_digest_pandas(compare_cols).alias("tgt_hash")
+    )
+    j = s.join(t, on=list(key_cols), how="full_outer")
+    status = (
+        F.when(F.col("src_hash").isNull(), F.lit("TGT_EXTRA"))
+        .when(F.col("tgt_hash").isNull(), F.lit("SRC_EXTRA"))
+        .when(F.col("src_hash") == F.col("tgt_hash"), F.lit("MATCH"))
+        .otherwise(F.lit("MISMATCH"))
+    )
+    return j.withColumn("status", status)
+
+
+def reconcile_counts(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Single-row summary: matches / mismatches / src_extras / tgt_extras."""
+    rec = hash_reconcile(src, tgt, key_cols, compare_cols)
+    return rec.agg(
+        F.sum(F.when(F.col("status") == "MATCH", 1).otherwise(0)).alias("matches"),
+        F.sum(F.when(F.col("status") == "MISMATCH", 1).otherwise(0)).alias("mismatches"),
+        F.sum(F.when(F.col("status") == "SRC_EXTRA", 1).otherwise(0)).alias("src_extras"),
+        F.sum(F.when(F.col("status") == "TGT_EXTRA", 1).otherwise(0)).alias("tgt_extras"),
+    )
+
+
+def extras(
+    src: DataFrame, tgt: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """(rows only in src, rows only in tgt) — LEFT ANTI both ways."""
+    src_only = src.join(tgt.select(*key_cols), on=list(key_cols), how="left_anti")
+    tgt_only = tgt.join(src.select(*key_cols), on=list(key_cols), how="left_anti")
+    return src_only, tgt_only
+
+
+def full_outer_report(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The ``__full_outer`` report table: keys + ``<col>_src`` / ``<col>_tgt``
+    pairs + per-row match flag (null-safe ``<=>`` compare, the reference's
+    equality operator, migration-data-validation.py:1149-1155)."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in src.columns if c in set(tgt.columns) and c not in key_cols
+        ]
+    s = src.select(*key_cols, *[F.col(c).alias(f"{c}_src") for c in compare_cols])
+    t = tgt.select(*key_cols, *[F.col(c).alias(f"{c}_tgt") for c in compare_cols])
+    j = s.join(t, on=list(key_cols), how="full_outer")
+    all_match = None
+    for c in compare_cols:
+        eq = F.col(f"{c}_src").eqNullSafe(F.col(f"{c}_tgt"))
+        all_match = eq if all_match is None else (all_match & eq)
+    return j.withColumn("row_match", all_match if all_match is not None else F.lit(True))
+
+
+def column_mismatch_metrics(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-column counters in ONE pass: (column_name, total_overlaps,
+    matches, mismatches, src_extras, tgt_extras).
+
+    Replaces the reference's per-column scalar-subquery fan-out
+    (migration-data-validation.py:1156-1188) with a single full-outer join +
+    a single aggregation + an unpivot of the 1-row wide result.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in src.columns if c in set(tgt.columns) and c not in key_cols
+        ]
+    # presence flags from a dedicated marker to survive all-null payloads
+    s = src.select(*key_cols, F.lit(1).alias("__s"), *[F.col(c).alias(f"{c}_src") for c in compare_cols])
+    t = tgt.select(*key_cols, F.lit(1).alias("__t"), *[F.col(c).alias(f"{c}_tgt") for c in compare_cols])
+    j = s.join(t, on=list(key_cols), how="full_outer")
+    both = F.col("__s").isNotNull() & F.col("__t").isNotNull()
+    aggs = [
+        F.sum(F.when(both, 1).otherwise(0)).alias("total_overlaps"),
+        F.sum(F.when(F.col("__s").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)).alias("src_extras"),
+        F.sum(F.when(F.col("__s").isNull() & F.col("__t").isNotNull(), 1).otherwise(0)).alias("tgt_extras"),
+    ]
+    for c in compare_cols:
+        eq = F.col(f"{c}_src").eqNullSafe(F.col(f"{c}_tgt"))
+        aggs.append(F.sum(F.when(both & eq, 1).otherwise(0)).alias(f"__m__{c}"))
+        aggs.append(F.sum(F.when(both & ~eq, 1).otherwise(0)).alias(f"__x__{c}"))
+    wide = j.agg(*aggs)
+    stack_items = ", ".join(
+        f"'{c}', `__m__{c}`, `__x__{c}`" for c in compare_cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(compare_cols)}, {stack_items}) as (column_name, matches, mismatches)"
+        ),
+        "total_overlaps",
+        "src_extras",
+        "tgt_extras",
+    ).select("column_name", "total_overlaps", "matches", "mismatches", "src_extras", "tgt_extras")
+
+
+def row_level_mismatches(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full differing rows among overlapping keys, tagged by side.
+
+    EXCEPT ALL between the overlap projections, then join back to recover
+    full rows — exactly migration-data-validation.py:1313-1334 — emitted as
+    one frame with a ``side`` column ('src'/'tgt') ordered by key.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in src.columns if c in set(tgt.columns) and c not in key_cols
+        ]
+    cols = list(key_cols) + list(compare_cols)
+    overlap_src = src.select(*cols).join(
+        tgt.select(*key_cols), on=list(key_cols), how="left_semi"
+    )
+    overlap_tgt = tgt.select(*cols).join(
+        src.select(*key_cols), on=list(key_cols), how="left_semi"
+    )
+    src_diff = overlap_src.exceptAll(overlap_tgt).withColumn("side", F.lit("src"))
+    tgt_diff = overlap_tgt.exceptAll(overlap_src).withColumn("side", F.lit("tgt"))
+    return src_diff.unionByName(tgt_diff).orderBy(*key_cols, "side")

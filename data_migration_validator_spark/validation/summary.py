@@ -1,0 +1,72 @@
+"""Validation summary: the 8-status conjunction of the reference
+(``validation_sqls.py:24-63``; evaluators ``validation_summary.py:253-618``).
+
+Each status is SUCCESS/FAILED; ``validation_status`` is SUCCESS iff all are.
+Computed driver-side from the check DataFrames' (tiny) aggregate results —
+the expensive passes already happened inside the check functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _status(ok: bool) -> str:
+    return "SUCCESS" if ok else "FAILED"
+
+
+def validation_summary(
+    reconcile_counts_df: DataFrame,
+    pk_src: DataFrame,
+    pk_tgt: DataFrame,
+    column_metrics: DataFrame,
+    name_type: DataFrame,
+    ordinal: DataFrame,
+    compatibility: DataFrame,
+) -> dict:
+    """Evaluate all statuses; returns a plain dict (one summary row).
+
+    Mirrors the reference's evaluators:
+    - row_count / extras / hash-match from the reconcile counts
+      (validation_summary.py:58-117 row counts; 253-276 anomalies),
+    - primary_key_compliance: count==count-distinct (SUM:263),
+    - data_mismatch: count_if(mismatches != 0) over columns (SUM:552-568),
+    - column_names / ordinal / datatype / compatibility (SUM:309-506).
+    """
+    rc = reconcile_counts_df.collect()[0].asDict()
+    pks = pk_src.collect()[0].asDict()
+    pkt = pk_tgt.collect()[0].asDict()
+    col_bad = column_metrics.filter(F.col("mismatches") != 0).count()
+    name_bad = name_type.filter(
+        (F.col("col_name_compare") == "MISMATCH")
+    ).count()
+    dtype_bad = name_type.filter(F.col("datatype_compare") == "MISMATCH").count()
+    ord_bad = ordinal.filter(F.col("ordinal_compare") == "MISMATCH").count()
+    compat_bad = compatibility.filter(~F.col("compatible")).count()
+
+    statuses = {
+        "row_count_status": _status(rc["src_extras"] == 0 and rc["tgt_extras"] == 0),
+        "hash_match_status": _status(rc["mismatches"] == 0 and rc["src_extras"] == 0 and rc["tgt_extras"] == 0),
+        "data_mismatch_status": _status(col_bad == 0),
+        "extras_status": _status(rc["src_extras"] == 0 and rc["tgt_extras"] == 0),
+        "primary_key_compliance_status": _status(
+            pks["pk_violations"] == 0 and pkt["pk_violations"] == 0
+        ),
+        "column_names_status": _status(name_bad == 0),
+        "ordinal_status": _status(ord_bad == 0),
+        "datatype_compatibility_status": _status(compat_bad == 0),
+    }
+    statuses["validation_status"] = _status(
+        all(v == "SUCCESS" for v in statuses.values())
+    )
+    statuses.update(
+        {
+            "matches": rc["matches"],
+            "mismatches": rc["mismatches"],
+            "src_extras": rc["src_extras"],
+            "tgt_extras": rc["tgt_extras"],
+            "datatype_mismatch_columns": dtype_bad,
+        }
+    )
+    return statuses

@@ -1,0 +1,165 @@
+"""LakeTable format: create/append/read, MERGE upsert+delete, bucket
+pruning, schema evolution by field id, exactly-once batch markers."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_migration_validator_spark.lake import LakeTable, TableSchema, can_widen
+
+SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+]
+
+
+def _mk(spark, root, **kw):
+    return LakeTable.create(
+        spark, os.path.join(root, "t"), SCHEMA, key_cols=["repo", "path"], **kw
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_and_overwrite_roundtrip(spark, tmp_root):
+    t = _mk(spark, tmp_root, num_buckets=4)
+    df = spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x"), ("r2", "b.py", "c2", "py", "y")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t.overwrite(df)
+    assert _rows(t.read()) == _rows(df)
+    assert t.row_count() == 2
+
+    # reload from disk
+    t2 = LakeTable.load(spark, os.path.join(tmp_root, "t"))
+    assert _rows(t2.read()) == _rows(df)
+
+
+def test_merge_upsert_delete(spark, tmp_root):
+    t = _mk(spark, tmp_root, num_buckets=4)
+    base = spark.createDataFrame(
+        [("r1", "a", "c1", "py", "v1"), ("r1", "b", "c1", "py", "v1"),
+         ("r2", "a", "c1", "py", "v1")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t.overwrite(base)
+
+    changes = spark.createDataFrame(
+        [
+            ("r1", "a", "c2", "py", "v2", "update"),   # update existing
+            ("r1", "b", "c1", "py", None, "delete"),   # delete existing
+            ("r3", "z", "c9", "go", "new", "insert"),  # brand new key
+            ("r4", "q", "c9", "go", None, "delete"),   # delete of absent key: no-op
+        ],
+        "repo string, path string, commit string, lang string, content string, op string",
+    )
+    stats = t.merge(changes, batch_id=1)
+    assert stats["rows_upserted"] == 2
+    assert stats["rows_deleted"] == 1
+
+    got = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert got == {("r1", "a"): "v2", ("r2", "a"): "v1", ("r3", "z"): "new"}
+
+    # redelivery of the same batch id is a no-op
+    stats2 = t.merge(changes, batch_id=1)
+    assert stats2["skipped"] is True
+    assert t.row_count() == 3
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_root):
+    t = _mk(spark, tmp_root, num_buckets=8)
+    rows = [(f"r{i}", "p", f"c{i}", "py", f"v{i}") for i in range(50)]
+    t.overwrite(spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string"))
+    files_before = {f["path"]: f for f in t.manifest["files"]}
+
+    changes = spark.createDataFrame(
+        [("r1", "p", "cx", "py", "v1x", "update")],
+        "repo string, path string, commit string, lang string, content string, op string",
+    )
+    stats = t.merge(changes, batch_id=2)
+    assert len(stats["touched_buckets"]) == 1
+    touched = stats["touched_buckets"][0]
+    # every file in an untouched bucket must be carried over unchanged
+    for f in t.manifest["files"]:
+        if f["bucket"] != touched:
+            assert f["path"] in files_before
+
+
+def test_schema_evolution_add_rename_widen(spark, tmp_root):
+    t = _mk(spark, tmp_root, num_buckets=2)
+    t.overwrite(
+        spark.createDataFrame(
+            [("r1", "a", "c1", "py", "v1")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    t.add_column("stars", "int")
+    # old file readable: stars is null
+    row = t.read().collect()[0]
+    assert row["stars"] is None
+
+    # write with the new column, then rename + widen
+    changes = spark.createDataFrame(
+        [("r2", "b", "c2", "go", "v2", 7, "insert")],
+        "repo string, path string, commit string, lang string, content string, stars int, op string",
+    )
+    t.merge(changes, batch_id=3)
+    t.rename_column("lang", "language")
+    t.widen_type("stars", "bigint")
+
+    df = t.read()
+    assert "language" in df.columns and "lang" not in df.columns
+    assert dict(df.dtypes)["stars"] == "bigint"
+    got = {(r["repo"], r["path"]): (r["language"], r["stars"]) for r in df.collect()}
+    assert got == {("r1", "a"): ("py", None), ("r2", "b"): ("go", 7)}
+
+
+def test_rename_key_column_keeps_manifest_consistent(spark, tmp_root):
+    t = _mk(spark, tmp_root, num_buckets=2)
+    t.rename_column("repo", "repository")
+    assert t.key_cols == ["repository", "path"]
+    assert t.bucket_source == "repository"
+
+
+def test_widen_only_lattice_enforced(spark, tmp_root):
+    t = _mk(spark, tmp_root, num_buckets=2)
+    t.add_column("n", "bigint")
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.widen_type("n", "int")  # narrowing refused
+    assert can_widen("int", "bigint") and not can_widen("bigint", "int")
+    assert can_widen("tinyint", "string") and not can_widen("string", "int")
+
+
+def test_schema_ids_are_stable_across_rename(spark, tmp_root):
+    s = TableSchema.from_pairs(SCHEMA)
+    s2 = s.rename_column("lang", "language")
+    assert s2.field_by_name("language").id == s.field_by_name("lang").id
+
+
+def test_append(spark, tmp_root):
+    t = _mk(spark, tmp_root, num_buckets=2)
+    one = spark.createDataFrame(
+        [("r1", "a", "c1", "py", "v1")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t.append(one)
+    t.append(one)  # blind append allows duplicates (reference S11 semantics)
+    assert t.read().count() == 2
+
+
+def test_read_bucket_pruning_filters_files(spark, tmp_root):
+    t = _mk(spark, tmp_root, num_buckets=8)
+    rows = [(f"r{i}", "p", "c", "py", "v") for i in range(64)]
+    t.overwrite(spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string"))
+    all_buckets = {f["bucket"] for f in t.manifest["files"]}
+    some = sorted(all_buckets)[:2]
+    pruned = t.read(buckets=some, with_bucket=True)
+    assert set(r["__bucket"] for r in pruned.select("__bucket").distinct().collect()) <= set(some)
