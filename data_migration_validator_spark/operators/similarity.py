@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k, the correctness baseline.
+  Query side broadcasts (queries ≪ corpus); dot product and norms are JVM
+  higher-order functions (``zip_with`` + ``aggregate``) so the O(Q×N×D) work
+  runs in codegen, partitioned by the corpus — linear scan, embarrassingly
+  parallel, no shuffle except the final per-query top-k.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH buckets
+  shrink each query's candidate set; same ranking inside buckets.  Multiple
+  hash tables trade recall for cost.
+- :func:`cosine_near_dup_pairs` — embedding-cosine near-duplicate detection
+  (dedup use-case): LSH-bucketed self-join + threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches (same id) are excluded.  Rank ties broken by neighbor id
+    for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int):
+    """Sign-bit signature under deterministic pseudo-random hyperplanes.
+
+    Plane p, dim d weight = centered xxhash of (p, d, seed) — seeded and
+    identical across executors without shipping a matrix.
+    """
+    def _weight_fn(p):
+        return lambda x, d: (
+            x.cast("double")
+            * (
+                (F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(2001)) - 1000)
+                / 1000.0
+            )
+        )
+
+    sig_bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                _weight_fn(p),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p))
+    out = sig_bits[0]
+    for b in sig_bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus vectors sharing an LSH
+    bucket with the query in ANY of ``n_tables`` hyperplane tables; exact
+    cosine ranking within candidates.  Output shape = brute_force_topk."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def with_sigs(df, idc, vc, alias_prefix):
+        out = df.select(F.col(idc).alias(f"{alias_prefix}_id"), F.col(vc).alias(f"__{alias_prefix}v"))
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _hyperplane_sig(f"__{alias_prefix}v", dim, n_planes, seed + 101 * t).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return out.withColumn("__bk", F.explode(tables)).select(
+            f"{alias_prefix}_id", f"__{alias_prefix}v", "__bk.tbl", "__bk.sig"
+        )
+
+    cs = with_sigs(corpus, id_col, vec_col, "neighbor")
+    qs = with_sigs(queries, id_col, vec_col, "query")
+    cand = (
+        cs.join(qs, on=["tbl", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__queryv", "__neighborv")
+        .distinct()
+        .withColumn("cosine", cosine(F.col("__queryv"), F.col("__neighborv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t) via
+    LSH-bucketed self-join — the embedding leg of the dedup suite."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _hyperplane_sig("__v", dim, n_planes, seed + 101 * t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    sigs = base.withColumn("__bk", F.explode(tables)).select(
+        "__id", "__v", "__bk.tbl", "__bk.sig"
+    )
+    a = sigs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "tbl", "sig")
+    b = sigs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "tbl", "sig")
+    return (
+        a.join(b, on=["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .distinct()
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

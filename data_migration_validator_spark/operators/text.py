@@ -1,0 +1,117 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all pyspark.sql built-ins (regexp_count / split /
+array ops), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword seeds for the n-gram/stopword heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "por"],
+}
+
+
+def _tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text_col: str | Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' split, or 'bpe' — a BPE-ish regex that
+    counts word pieces, numbers, and individual punctuation separately."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if mode == "whitespace":
+        t = F.trim(c)
+        return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    if mode == "bpe":
+        return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def quality_metrics(text_col: str | Column) -> dict[str, Column]:
+    """Quality-scoring columns: length, tokens, mean token length,
+    punctuation/digit/uppercase ratios, stopword ratio, and a composite
+    [0,1] quality score (heuristics in the C4/Gopher-rules spirit)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(F.coalesce(c, F.lit("")))
+    toks = _tokens(F.coalesce(c, F.lit("")))
+    n_tokens = token_count(F.coalesce(c, F.lit("")))
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    digits = F.regexp_count(c, F.lit(r"[0-9]"))
+    uppers = F.regexp_count(c, F.lit(r"[A-Z]"))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    safe_toks = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(1.0))
+    m = {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": n_chars.cast("double") / safe_toks,
+        "punct_ratio": punct.cast("double") / safe_chars,
+        "digit_ratio": digits.cast("double") / safe_chars,
+        "upper_ratio": uppers.cast("double") / safe_chars,
+        "stopword_ratio": stop_hits.cast("double") / F.least(safe_toks, F.lit(10.0)),
+    }
+    # composite: long enough, not punctuation/digit soup, some stopwords
+    score = (
+        F.least(n_chars.cast("double") / 200.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(m["punct_ratio"] * 4.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(m["digit_ratio"] * 4.0, F.lit(1.0))) * 0.2
+        + F.least(m["stopword_ratio"], F.lit(1.0)) * 0.2
+    )
+    m["quality_score"] = F.round(score, 4)
+    return m
+
+
+def language_id(text_col: str | Column) -> Column:
+    """Stopword-hit language heuristic: argmax over per-language distinct
+    stopword hits; 'und' (undetermined) when nothing hits."""
+    toks = F.array_distinct(_tokens(text_col))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties deterministically
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def document_fingerprint(text_col: str | Column, ngram: int = 5) -> Column:
+    """Normalization-robust fingerprint: sha256 of the lowercased,
+    punctuation-stripped, whitespace-collapsed text.  Two documents differing
+    only in case/punctuation/spacing collide — the classic "fingerprint
+    clustering" key."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"[^\w\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return F.sha2(norm, 256)
+
+
+def rolling_min_hash(text_col: str | Column, ngram: int = 5) -> Column:
+    """Winnowing-style content key: min xxhash64 over character n-gram
+    windows — robust to small edits (one changed region only shifts a few
+    windows)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    n = F.length(c)
+    windows = F.when(
+        n >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), n - ngram + 1),
+            lambda i: F.xxhash64(F.substr(c, i, F.lit(ngram))),
+        ),
+    ).otherwise(F.array(F.xxhash64(c)))
+    return F.array_min(windows)

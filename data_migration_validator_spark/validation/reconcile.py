@@ -178,21 +178,34 @@ def row_level_mismatches(
 ) -> DataFrame:
     """Full differing rows among overlapping keys, tagged by side.
 
-    EXCEPT ALL between the overlap projections, then join back to recover
-    full rows — exactly migration-data-validation.py:1313-1334 — emitted as
-    one frame with a ``side`` column ('src'/'tgt') ordered by key.
+    Semantics of the reference's two EXCEPT ALLs + join-back
+    (migration-data-validation.py:1313-1334), computed as ONE signed-count
+    aggregation: union src(+1)/tgt(-1) overlap rows, sum per full row, emit
+    |sum| copies on the surplus side.  One shuffle instead of two EXCEPT-ALL
+    rewrites — and it sidesteps a Spark 4.1 AQE exchange-reuse bug where the
+    union of two mirrored exceptAll subplans returns wrong rows
+    (ReusedExchange mis-resolution; observed on 4.1.2, see tests).
     """
     if compare_cols is None:
         compare_cols = [
             c for c in src.columns if c in set(tgt.columns) and c not in key_cols
         ]
     cols = list(key_cols) + list(compare_cols)
-    overlap_src = src.select(*cols).join(
-        tgt.select(*key_cols), on=list(key_cols), how="left_semi"
+    s = (
+        src.select(*cols)
+        .join(tgt.select(*key_cols), on=list(key_cols), how="left_semi")
+        .withColumn("__v", F.lit(1))
     )
-    overlap_tgt = tgt.select(*cols).join(
-        src.select(*key_cols), on=list(key_cols), how="left_semi"
+    t = (
+        tgt.select(*cols)
+        .join(src.select(*key_cols), on=list(key_cols), how="left_semi")
+        .withColumn("__v", F.lit(-1))
     )
-    src_diff = overlap_src.exceptAll(overlap_tgt).withColumn("side", F.lit("src"))
-    tgt_diff = overlap_tgt.exceptAll(overlap_src).withColumn("side", F.lit("tgt"))
-    return src_diff.unionByName(tgt_diff).orderBy(*key_cols, "side")
+    g = s.unionByName(t).groupBy(*cols).agg(F.sum("__v").alias("__d"))
+    diff = g.filter(F.col("__d") != 0)
+    out = diff.select(
+        *cols,
+        F.when(F.col("__d") > 0, F.lit("src")).otherwise(F.lit("tgt")).alias("side"),
+        F.explode(F.sequence(F.lit(1), F.abs(F.col("__d")))).alias("__copy"),
+    ).drop("__copy")
+    return out.orderBy(*key_cols, "side")

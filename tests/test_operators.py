@@ -1,0 +1,177 @@
+"""Training-data operators: dedup (exact / MinHash / SimHash / n-gram
+Jaccard), similarity search, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_validator_spark.operators import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    exact_dedup,
+    language_id,
+    lsh_bucketed_topk,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    quality_metrics,
+    simhash,
+    simhash_near_dup,
+    token_count,
+)
+from data_migration_validator_spark.operators.multimodal import (
+    decode_unavailable,
+    extract_features,
+    frame_sample_plan,
+    make_media_table,
+    resize_plan,
+)
+from data_migration_validator_spark.operators.text import document_fingerprint
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "der hund und die katze sind nicht ein und das selbe tier heute"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids  # keeps min id of the dup group
+    assert out.filter("doc_id = 0").first()["dup_count"] == 2
+    assert out.count() == 5
+
+
+def test_minhash_near_dup_finds_near_and_exact(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_simhash_similar_docs_have_close_signatures(docs):
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash("text").alias("s")).collect()}
+    assert sigs[0] == sigs[1]
+    ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dup(docs, "text", "doc_id").collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) * math.pi / 16 + (i // 8) * 0.01
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * (i % 3), 0.05]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    out = brute_force_topk(vectors, vectors.filter("vec_id = 0"), k=5)
+    rows = out.orderBy("rank").collect()
+    assert len(rows) == 5
+    assert all(r["query_id"] == 0 for r in rows)
+    assert rows[0]["cosine"] >= rows[-1]["cosine"]
+    assert all(r["neighbor_id"] != 0 for r in rows)
+
+
+def test_lsh_topk_recall_against_brute_force(vectors):
+    queries = vectors.filter("vec_id < 4")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vectors, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(vectors, queries, k=3, n_planes=4, n_tables=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_cosine_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             cosine_near_dup_pairs(df, threshold=0.99, n_planes=4, n_tables=8).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), (" one ",)], "t string")
+    out = [r[0] for r in df.select(token_count("t")).collect()]
+    assert out == [3, 0, 1]
+    bpe = df.select(token_count("t", mode="bpe")).collect()
+    assert bpe[0][0] == 3
+
+
+def test_quality_metrics_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The cat sat on the mat and it was happy for the day."),
+            (1, "@@@ ### $$$ 123 456 789 @@@"),
+            (2, "der hund und die katze sind nicht das selbe"),
+        ],
+        "doc_id long, text string",
+    )
+    m = quality_metrics("text")
+    out = df.select("doc_id", m["quality_score"].alias("q"), language_id("text").alias("lang")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["q"] > by_id[1]["q"]
+    assert by_id[0]["lang"] == "en"
+    assert by_id[2]["lang"] == "de"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World!",), ("hello world",)], "t string"
+    )
+    fps = [r[0] for r in df.select(document_fingerprint("t")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_plumbing(spark):
+    media = make_media_table(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feat"]) == 8 for r in rows)
+    assert all(len(r["digest"]) == 64 for r in rows)
+    # deterministic: same input -> same features
+    again = extract_features(media).collect()
+    assert sorted(r["digest"] for r in rows) == sorted(r["digest"] for r in again)
+
+    rp = resize_plan(media, max_side=64).filter("target_width > 64 or target_height > 64")
+    assert rp.count() == 0
+    fs = frame_sample_plan(media.filter("kind = 'video'"), every_ms=500)
+    assert fs.count() >= media.filter("kind = 'video'").count()
+
+    with pytest.raises(NotImplementedError):
+        decode_unavailable(b"x")
