@@ -1,38 +1,1063 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship reconciliation pipeline on
+sf0.001.  ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 (+ the training-data operators); ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+Column names/aliases match exactly between the Spark plans and the
+oracle SQL (the driver hash-compares values after sorting by column
+name).
+
+Float discipline: every aggregated double is summed as DECIMAL(18,2)
+(exact, order-independent) then cast back to DOUBLE on both sides, so
+Spark's parallel summation order cannot diverge from DuckDB's serial
+one.  Raw column passthroughs (untouched doubles from parquet) are
+bit-identical by construction.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_migration_validator_spark.operators import dedup as D
+from data_migration_validator_spark.operators import text as T
+from data_migration_validator_spark.validation import checks as C
+from data_migration_validator_spark.validation import reconcile as R
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, alias):
+    """Order-independent double sum: exact decimal accumulate, double out."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _rev_expr():
+    """extendedprice*(1-discount) in ALL-decimal arithmetic.  Quantizing the
+    inputs (exact 2-dp round-trips) before multiplying keeps the math exact
+    and engine-independent; multiplying doubles first would make the result
+    depend on each engine's double→decimal tie-rounding."""
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    dc = F.col("l_discount").cast("decimal(18,2)")
+    return ep * (F.lit(1).cast("decimal(18,2)") - dc)
+
+
+# --------------------------------------------------------------------------- #
+# deterministic src/tgt perturbation of `orders` for the validation suite.
+# Same derivation is written out in SQL inside oracle_sql() (_SRC/_TGT).
+# src drops keys %37==0, perturbs o_totalprice on %101==0 and
+# o_orderpriority on %113==0; tgt drops keys %41==0.
+# --------------------------------------------------------------------------- #
+def _src_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 37 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 113 == 0, F.lit("9-CORRUPT")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+    )
+
+
+def _tgt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 41 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+_ORDER_CMP = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+_SRC_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 113 = 0 THEN '9-CORRUPT'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 37 <> 0
+"""
+_TGT_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 41 <> 0
+"""
+
+
+# --------------------------------------------------------------------------- #
+# queries
+# --------------------------------------------------------------------------- #
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (SURVEY §2.4 A1/A3: grouped conditional aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+                "high_discount_lines"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    """3-way join + group + top-k by revenue (SURVEY §2.3 J1-shape, §2.6 O4)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.withColumn("rev", _rev_expr())
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )
+    return (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(rev, o.o_orderkey == rev.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_custkey").alias("custkey"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """5-way broadcast-dim join: region⋈nation⋈customer⋈orders⋈lineitem."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("rev", _rev_expr())
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("region_name")
+    )
+
+
+def q_window_latest_event(spark, sf_dir):
+    """W4: latest record per key via row_number desc (the CDC last-writer-wins
+    shape, migration-data-validation.py:1802-1804)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+def q_window_dedup_first(spark, sf_dir):
+    """W2: first-wins dedup — first line per order (row_number asc = 1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is intentionally non-unique in the testdata
+    # (PK-violation scenarios) — extend the ordering to a total one.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    )
+
+
+def q_anti_join_extras(spark, sf_dir):
+    """J4 LEFT ANTI: customers with no orders."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        cu.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q_semi_join_filter(spark, sf_dir):
+    """P7/J-semi: orders that contain at least one high-quantity line."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") >= 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(hot, "o_orderkey", "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_groupby_date_bucket(spark, sf_dir):
+    """A3: per-date event counts (windowed_validation_metrics shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("bucket_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket_date")
+    )
+
+
+def q_minmax_timeline(spark, sf_dir):
+    """A4: min/max timeline per event_type (update_tstmp_timeline shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd").alias("min_date"),
+            F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd").alias("max_date"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_pk_validation(spark, sf_dir):
+    """A2: count vs count-distinct on the composite PK
+    (migration-data-validation.py:1444-1447)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return C.primary_key_validation(li, ["l_orderkey", "l_linenumber"])
+
+
+def q_conditional_counts(spark, sf_dir):
+    """A5 count_if: status rollup over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_totalprice") > 100000.0, 1).otherwise(0)).alias("n_large"),
+    )
+
+
+def q_collect_set_agg(spark, sf_dir):
+    """A6 collect_set/string_agg: distinct order statuses per customer nation."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_union_distinct(spark, sf_dir):
+    """E1 UNION (distinct): key spaces of two derived sides."""
+    s = _src_orders(spark, sf_dir).select("o_orderkey")
+    t = _tgt_orders(spark, sf_dir).select("o_orderkey")
+    return s.union(t).distinct().orderBy("o_orderkey")
+
+
+def q_recon_counts(spark, sf_dir):
+    """getHashAnomalies 4-way classification counts in ONE full-outer pass
+    (migration-data-validation.py:887-924)."""
+    return R.reconcile_counts(
+        _src_orders(spark, sf_dir),
+        _tgt_orders(spark, sf_dir),
+        ["o_orderkey"],
+        _ORDER_CMP,
+    )
+
+
+def q_recon_status_rows(spark, sf_dir):
+    """Per-key classification rows (status ∈ MATCH/MISMATCH/SRC_EXTRA/TGT_EXTRA)."""
+    rec = R.hash_reconcile(
+        _src_orders(spark, sf_dir),
+        _tgt_orders(spark, sf_dir),
+        ["o_orderkey"],
+        _ORDER_CMP,
+    )
+    return rec.filter(F.col("status") != "MATCH").select("o_orderkey", "status").orderBy(
+        "o_orderkey"
+    )
+
+
+def q_column_mismatch_metrics(spark, sf_dir):
+    """Per-column match/mismatch counters in one aggregation pass (replaces
+    the reference's scalar-subquery fan-out, migration-data-validation.py:
+    1156-1188)."""
+    return R.column_mismatch_metrics(
+        _src_orders(spark, sf_dir),
+        _tgt_orders(spark, sf_dir),
+        ["o_orderkey"],
+        _ORDER_CMP,
+    ).orderBy("column_name")
+
+
+def q_row_level_mismatches(spark, sf_dir):
+    """E3 EXCEPT-ALL row-level mismatch capture (migration-data-validation.py:
+    1313-1334), signed-count formulation."""
+    out = R.row_level_mismatches(
+        _src_orders(spark, sf_dir),
+        _tgt_orders(spark, sf_dir),
+        ["o_orderkey"],
+        _ORDER_CMP,
+    )
+    return out.select("o_orderkey", "o_totalprice", "o_orderpriority", "side")
+
+
+def q_full_outer_report(spark, sf_dir):
+    """J1: the __full_outer report with _src/_tgt suffixes + row_match flag
+    (migration-data-validation.py:766-832)."""
+    rep = R.full_outer_report(
+        _src_orders(spark, sf_dir),
+        _tgt_orders(spark, sf_dir),
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderpriority"],
+    )
+    return rep.filter(~F.col("row_match")).select(
+        "o_orderkey",
+        "o_totalprice_src",
+        "o_totalprice_tgt",
+        "o_orderpriority_src",
+        "o_orderpriority_tgt",
+    ).orderBy("o_orderkey")
+
+
+def q_windowed_validation(spark, sf_dir):
+    """Per-date six-class counts (migration-data-validation.py:1366-1384) —
+    here on the events table keyed by event_id with a deterministic fork."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    src = ev.filter(F.col("event_id") % 53 != 0)
+    tgt = ev.filter(F.col("event_id") % 59 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 71 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    out = C.windowed_validation(src, tgt, ["event_id"], "ts", ["event_type", "value"])
+    return out.withColumn(
+        "bucket_date", F.date_format("bucket_date", "yyyy-MM-dd")
+    ).orderBy("bucket_date")
+
+
+def q_extras_rows(spark, sf_dir):
+    """J4 both-ways extras as rows tagged by side."""
+    src_only, tgt_only = R.extras(
+        _src_orders(spark, sf_dir), _tgt_orders(spark, sf_dir), ["o_orderkey"]
+    )
+    return (
+        src_only.select("o_orderkey").withColumn("side", F.lit("src"))
+        .unionByName(tgt_only.select("o_orderkey").withColumn("side", F.lit("tgt")))
+        .orderBy("o_orderkey", "side")
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    """Text analysis: token counts (whitespace + BPE-ish) and char ratios."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        T.token_count("text", "whitespace").alias("ws_tokens"),
+        T.token_count("text", "bpe").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: corpus rollup of the heuristic quality metrics."""
+    d = _t(spark, sf_dir, "documents")
+    m = T.quality_metrics("text")
+    per_doc = d.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["digit_ratio"].alias("digit_ratio"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("punct_ratio") > 0.10, 1).otherwise(0)).alias("punct_heavy"),
+        F.sum(F.when(F.col("digit_ratio") > 0.10, 1).otherwise(0)).alias("digit_heavy"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: predicted language → doc count."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(T.language_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup on content digest: groups with >1 copy."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.exact_dedup(d, "text", "doc_id", keep="min")
+    return (
+        out.filter(F.col("dup_count") > 1)
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    """Normalization-robust fingerprint clustering: cluster sizes ≥ 2."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(T.document_fingerprint("text").alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy("fingerprint")
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Vector plumbing: L2 norm + dims per embedding (JVM higher-order fns)."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: (x.cast("double") * x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.round(F.sqrt(norm2), 6).alias("l2_norm"),
+        "label",
+    ).orderBy("vec_id")
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-k for a fixed query set (ANN correctness baseline).
+    Integer-only output (rank ties broken by id) keeps the hash float-safe."""
+    from data_migration_validator_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(e, queries, "vec_id", "embedding", k=5)
+    return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only check:
+    the xxhash64 family has no DuckDB equivalent)."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    out = D.minhash_near_dup(d, "text", "doc_id", threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash banded near-dup candidates, hamming ≤ 8 (rows-only check)."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    out = D.simhash_near_dup(d, "text", "doc_id", bands=4)
+    return (
+        out.filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs via inverted index (rows-only check)."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    out = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", ngram=3, threshold=0.8, max_doc_freq=200
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# literal schema stores for the schema-validation checks (identical VALUES
+# appear in the oracle SQL).
+_SRC_STORE = [
+    ("id", "int", 1), ("name", "string", 2), ("score", "float", 3),
+    ("created", "date", 4), ("flag", "int", 5), ("only_src", "string", 6),
+]
+_TGT_STORE = [
+    ("id", "bigint", 1), ("name", "string", 2), ("score", "double", 3),
+    ("created", "string", 4), ("flag", "boolean", 5), ("only_tgt", "string", 6),
+]
+
+
+def _store_df(spark, rows, side):
+    return spark.createDataFrame(
+        [(n, t, o, side) for n, t, o in rows],
+        "col_name string, data_type string, col_order int, side string",
+    )
+
+
+def q_projection_sentinel(spark, sf_dir):
+    """P1: col-mapping projection with missing-column sentinel
+    (migration-data-validation.py:1487-1537)."""
+    from data_migration_validator_spark.operators.projection import (
+        MISSING_TGT,
+        mapped_projection,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    out = mapped_projection(
+        o,
+        ["o_orderkey", "status", "ghost"],
+        {"status": "o_orderstatus"},
+        sentinel=MISSING_TGT,
+    )
+    return out.orderBy("o_orderkey")
+
+
+def q_ordinal_check(spark, sf_dir):
+    """J7: FULL OUTER on ordinal position (validation_summary.py:314-318)."""
+    from data_migration_validator_spark.validation.schema_check import ordinal_check
+
+    out = ordinal_check(
+        _store_df(spark, _SRC_STORE, "src"), _store_df(spark, _TGT_STORE, "tgt")
+    )
+    return out.select("col_order", "src_col_name", "tgt_col_name", "ordinal_compare")
+
+
+def q_schema_compatibility(spark, sf_dir):
+    """J6+J8: name/type compare + regex-matrix compatibility theta-join
+    (validation_summary.py:388-393, 502-504)."""
+    from data_migration_validator_spark.validation.schema_check import (
+        default_compatibility_matrix,
+        name_type_check,
+        type_compatibility,
+    )
+
+    nt = name_type_check(
+        _store_df(spark, _SRC_STORE, "src"), _store_df(spark, _TGT_STORE, "tgt")
+    )
+    out = type_compatibility(nt, default_compatibility_matrix(spark))
+    return out.select(
+        "col_key",
+        "src_data_type",
+        "tgt_data_type",
+        "col_name_compare",
+        "datatype_compare",
+        "compatible",
+    ).orderBy("col_key")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): binary payloads → mapInPandas Arrow
+    feature extraction (stub kernel) + JVM-side resize planning."""
+    from data_migration_validator_spark.operators.multimodal import (
+        extract_features,
+        make_media_table,
+        resize_plan,
+    )
+
+    media = make_media_table(spark, n=256, partitions=8)
+    feats = extract_features(media).select(
+        "media_id", "kind", "n_bytes", "digest", F.round(F.element_at("feat", 1), 6).alias("f0")
+    )
+    plan = resize_plan(media).select("media_id", "target_width", "target_height")
+    return feats.join(plan, "media_id").orderBy("media_id")
+
+
+def q_cdc_replay(spark, sf_dir):
+    """Engine core (rows-only check): synthesize a seeded change stream,
+    replay it batch-by-batch through the lake MERGE path, then prove
+    replay ≡ batch oracle by full-row digest reconcile — the north-rule
+    equivalence, all classes must be MATCH."""
+    import tempfile
+
+    from data_migration_validator_spark.cdc.events import change_events, write_events_batched
+    from data_migration_validator_spark.cdc.oracle import expected_final_state
+    from data_migration_validator_spark.cdc.replay import replay
+    from data_migration_validator_spark.lake.schema import TableSchema
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    n = 4000 if "0.001" in sf_dir else 20000
+    ev = change_events(spark, n_events=n, n_repos=40, seed=42, batch_size=n // 4)
+    with tempfile.TemporaryDirectory() as tmp:
+        write_events_batched(ev, f"{tmp}/events")
+        table = LakeTable.create(
+            spark,
+            f"{tmp}/repo_content",
+            TableSchema.from_pairs(
+                [
+                    ("repo", "string"),
+                    ("path", "string"),
+                    ("commit", "string"),
+                    ("lang", "string"),
+                    ("content", "string"),
+                ]
+            ),
+            key_cols=["repo", "path"],
+            bucket_col="repo",
+            num_buckets=8,
+        )
+        replay(table, f"{tmp}/events")
+        final = table.read()
+        oracle = expected_final_state(ev)
+        rec = R.hash_reconcile(
+            final, oracle, ["repo", "path"], ["commit", "lang", "content"]
+        )
+        out = rec.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+        out = out.cache()
+        out.count()  # materialize before tmp dir vanishes
+        return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reconciliation pipeline (digest classify + per-column
+    metrics driver) on sf0.001 — the validate half of the engine."""
+    return q_recon_counts(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "region_revenue": q_region_revenue,
+        "window_latest_event": q_window_latest_event,
+        "window_dedup_first": q_window_dedup_first,
+        "anti_join_extras": q_anti_join_extras,
+        "semi_join_filter": q_semi_join_filter,
+        "groupby_date_bucket": q_groupby_date_bucket,
+        "minmax_timeline": q_minmax_timeline,
+        "pk_validation": q_pk_validation,
+        "conditional_counts": q_conditional_counts,
+        "collect_set_agg": q_collect_set_agg,
+        "union_distinct": q_union_distinct,
+        "recon_counts": q_recon_counts,
+        "recon_status_rows": q_recon_status_rows,
+        "column_mismatch_metrics": q_column_mismatch_metrics,
+        "row_level_mismatches": q_row_level_mismatches,
+        "full_outer_report": q_full_outer_report,
+        "windowed_validation": q_windowed_validation,
+        "extras_rows": q_extras_rows,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "embedding_norms": q_embedding_norms,
+        "knn_bruteforce": q_knn_bruteforce,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "projection_sentinel": q_projection_sentinel,
+        "ordinal_check": q_ordinal_check,
+        "schema_compatibility": q_schema_compatibility,
+        "multimodal_features": q_multimodal_features,
+        "cdc_replay": q_cdc_replay,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _store_values(rows):
+    return ", ".join(f"('{n}', '{t}', {o})" for n, t, o in rows)
+
+
+def _widen_pairs_values():
+    from data_migration_validator_spark.lake.schema import _WIDEN
+
+    pairs = sorted(
+        {(f, t) for f, tos in _WIDEN.items() for t in tos} | {(f, f) for f in _WIDEN}
+    )
+    return ", ".join(f"('{f}', '{t}')" for f, t in pairs)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    src = _SRC_SQL
+    tgt = _TGT_SQL
+    return {
+        "projection_sentinel": """
+            SELECT o_orderkey, o_orderstatus AS status,
+                   'THIS COLUMN DOES NOT EXIST IN TGT' AS ghost
+            FROM orders ORDER BY o_orderkey
+        """,
+        "ordinal_check": f"""
+            WITH s(col_name, data_type, col_order) AS (VALUES {_store_values(_SRC_STORE)}),
+                 t(col_name, data_type, col_order) AS (VALUES {_store_values(_TGT_STORE)})
+            SELECT COALESCE(s.col_order, t.col_order) AS col_order,
+                   s.col_name AS src_col_name,
+                   t.col_name AS tgt_col_name,
+                   CASE WHEN LOWER(s.col_name) IS NOT DISTINCT FROM LOWER(t.col_name)
+                        THEN 'MATCH' ELSE 'MISMATCH' END AS ordinal_compare
+            FROM s FULL OUTER JOIN t ON s.col_order = t.col_order
+            ORDER BY col_order
+        """,
+        "schema_compatibility": f"""
+            WITH s(col_name, data_type, col_order) AS (VALUES {_store_values(_SRC_STORE)}),
+                 t(col_name, data_type, col_order) AS (VALUES {_store_values(_TGT_STORE)}),
+                 widen(frm, wide) AS (VALUES {_widen_pairs_values()}),
+            j AS (
+                SELECT COALESCE(LOWER(s.col_name), LOWER(t.col_name)) AS col_key,
+                       s.data_type AS src_data_type, t.data_type AS tgt_data_type,
+                       CASE WHEN s.col_name IS NOT NULL AND t.col_name IS NOT NULL
+                            THEN 'MATCH' ELSE 'MISMATCH' END AS col_name_compare,
+                       CASE WHEN LOWER(s.data_type) IS NOT DISTINCT FROM LOWER(t.data_type)
+                            THEN 'MATCH' ELSE 'MISMATCH' END AS datatype_compare
+                FROM s FULL OUTER JOIN t ON LOWER(s.col_name) = LOWER(t.col_name)
+            )
+            SELECT col_key, src_data_type, tgt_data_type, col_name_compare,
+                   datatype_compare,
+                   CASE WHEN datatype_compare = 'MATCH' THEN TRUE
+                        WHEN src_data_type IS NULL OR tgt_data_type IS NULL THEN FALSE
+                        ELSE EXISTS (SELECT 1 FROM widen w
+                                     WHERE w.frm = STRING_SPLIT(LOWER(src_data_type), '(')[1]
+                                       AND w.wide = STRING_SPLIT(LOWER(tgt_data_type), '(')[1])
+                   END AS compatible
+            FROM j ORDER BY col_key
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   COUNT(*) AS count_order,
+                   SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS high_discount_lines
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey AS orderkey, c.c_custkey AS custkey, rev.revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN rev ON o.o_orderkey = rev.l_orderkey
+            ORDER BY revenue DESC, orderkey
+            LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r.r_name AS region_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+            ORDER BY region_name
+        """,
+        "window_latest_event": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "window_dedup_first": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+                FROM lineitem
+            ) WHERE rn = 1 ORDER BY l_orderkey
+        """,
+        "anti_join_extras": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "semi_join_filter": """
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+            ORDER BY o_orderkey
+        """,
+        "groupby_date_bucket": """
+            SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS bucket_date,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY bucket_date
+        """,
+        "minmax_timeline": """
+            SELECT event_type,
+                   STRFTIME(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS min_date,
+                   STRFTIME(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS max_date,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "pk_validation": """
+            SELECT COUNT(*) AS total_count,
+                   COUNT(DISTINCT (l_orderkey, l_linenumber)) AS distinct_count,
+                   COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS pk_violations
+            FROM lineitem
+        """,
+        "conditional_counts": """
+            SELECT COUNT(*) AS total_orders,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+                   SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+                   SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_large
+            FROM orders
+        """,
+        "collect_set_agg": """
+            SELECT c.c_nationkey AS nationkey,
+                   STRING_AGG(DISTINCT o.o_orderstatus, ',' ORDER BY o.o_orderstatus) AS statuses,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey ORDER BY nationkey
+        """,
+        "union_distinct": f"""
+            SELECT o_orderkey FROM ({src})
+            UNION
+            SELECT o_orderkey FROM ({tgt})
+            ORDER BY o_orderkey
+        """,
+        "recon_counts": f"""
+            WITH s AS ({src}), t AS ({tgt}),
+            j AS (
+                SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+                       (s.o_custkey IS NOT DISTINCT FROM t.o_custkey
+                        AND s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus
+                        AND s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice
+                        AND s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority) AS eq
+                FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+            )
+            SELECT SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND eq THEN 1 ELSE 0 END) AS matches,
+                   SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq THEN 1 ELSE 0 END) AS mismatches,
+                   SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS src_extras,
+                   SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS tgt_extras
+            FROM j
+        """,
+        "recon_status_rows": f"""
+            WITH s AS ({src}), t AS ({tgt}),
+            cls AS (
+                SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                       CASE WHEN s.o_orderkey IS NULL THEN 'TGT_EXTRA'
+                            WHEN t.o_orderkey IS NULL THEN 'SRC_EXTRA'
+                            WHEN s.o_custkey IS NOT DISTINCT FROM t.o_custkey
+                             AND s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus
+                             AND s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice
+                             AND s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority
+                            THEN 'MATCH' ELSE 'MISMATCH' END AS status
+                FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+            )
+            SELECT o_orderkey, status FROM cls
+            WHERE status <> 'MATCH' ORDER BY o_orderkey
+        """,
+        "column_mismatch_metrics": f"""
+            WITH s AS ({src}), t AS ({tgt}),
+            j AS (SELECT s.o_orderkey AS sk, t.o_orderkey AS tk, s.o_custkey AS c_s,
+                         t.o_custkey AS c_t, s.o_orderstatus AS st_s, t.o_orderstatus AS st_t,
+                         s.o_totalprice AS tp_s, t.o_totalprice AS tp_t,
+                         s.o_orderpriority AS pr_s, t.o_orderpriority AS pr_t
+                  FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey),
+            base AS (
+                SELECT COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL) AS total_overlaps,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NULL) AS src_extras,
+                       COUNT(*) FILTER (sk IS NULL AND tk IS NOT NULL) AS tgt_extras,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL AND c_s IS NOT DISTINCT FROM c_t) AS m_cust,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL AND NOT (c_s IS NOT DISTINCT FROM c_t)) AS x_cust,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL AND st_s IS NOT DISTINCT FROM st_t) AS m_stat,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL AND NOT (st_s IS NOT DISTINCT FROM st_t)) AS x_stat,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL AND tp_s IS NOT DISTINCT FROM tp_t) AS m_tp,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL AND NOT (tp_s IS NOT DISTINCT FROM tp_t)) AS x_tp,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL AND pr_s IS NOT DISTINCT FROM pr_t) AS m_pr,
+                       COUNT(*) FILTER (sk IS NOT NULL AND tk IS NOT NULL AND NOT (pr_s IS NOT DISTINCT FROM pr_t)) AS x_pr
+                FROM j)
+            SELECT 'o_custkey' AS column_name, total_overlaps, m_cust AS matches,
+                   x_cust AS mismatches, src_extras, tgt_extras FROM base
+            UNION ALL
+            SELECT 'o_orderstatus', total_overlaps, m_stat, x_stat, src_extras, tgt_extras FROM base
+            UNION ALL
+            SELECT 'o_totalprice', total_overlaps, m_tp, x_tp, src_extras, tgt_extras FROM base
+            UNION ALL
+            SELECT 'o_orderpriority', total_overlaps, m_pr, x_pr, src_extras, tgt_extras FROM base
+            ORDER BY column_name
+        """,
+        "row_level_mismatches": f"""
+            WITH s AS ({src}), t AS ({tgt}),
+            so AS (SELECT s.* FROM s WHERE EXISTS
+                   (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)),
+            to_ AS (SELECT t.* FROM t WHERE EXISTS
+                   (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)),
+            sd AS (SELECT * FROM so EXCEPT ALL SELECT * FROM to_),
+            td AS (SELECT * FROM to_ EXCEPT ALL SELECT * FROM so)
+            SELECT o_orderkey, o_totalprice, o_orderpriority, 'src' AS side FROM sd
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority, 'tgt' AS side FROM td
+        """,
+        "full_outer_report": f"""
+            WITH s AS ({src}), t AS ({tgt})
+            SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   s.o_totalprice AS o_totalprice_src,
+                   t.o_totalprice AS o_totalprice_tgt,
+                   s.o_orderpriority AS o_orderpriority_src,
+                   t.o_orderpriority AS o_orderpriority_tgt
+            FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+            WHERE NOT (s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice
+                       AND s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority)
+            ORDER BY o_orderkey
+        """,
+        "windowed_validation": """
+            WITH ev AS (SELECT event_id, ts, event_type, value FROM events),
+            s AS (SELECT * FROM ev WHERE event_id % 53 <> 0),
+            t AS (SELECT event_id, ts, event_type,
+                         CASE WHEN event_id % 71 = 0 THEN value + 1.0 ELSE value END AS value
+                  FROM ev WHERE event_id % 59 <> 0),
+            j AS (
+                SELECT COALESCE(s.event_id, t.event_id) AS k,
+                       STRFTIME(CAST(COALESCE(s.ts, t.ts) AS DATE), '%Y-%m-%d') AS bucket_date,
+                       s.event_id AS sk, t.event_id AS tk,
+                       (s.event_type IS NOT DISTINCT FROM t.event_type
+                        AND s.value IS NOT DISTINCT FROM t.value) AS eq
+                FROM s FULL OUTER JOIN t ON s.event_id = t.event_id
+            )
+            SELECT bucket_date,
+                   SUM(CASE WHEN sk IS NOT NULL THEN 1 ELSE 0 END) AS src_count,
+                   SUM(CASE WHEN tk IS NOT NULL THEN 1 ELSE 0 END) AS tgt_count,
+                   SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS src_extras,
+                   SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS tgt_extras,
+                   SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq
+                            THEN 1 ELSE 0 END) AS mismatched_rows
+            FROM j GROUP BY bucket_date ORDER BY bucket_date
+        """,
+        "extras_rows": f"""
+            WITH s AS ({src}), t AS ({tgt})
+            SELECT o_orderkey, 'src' AS side FROM s
+            WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, 'tgt' AS side FROM t
+            WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+            ORDER BY o_orderkey, side
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   LENGTH(text) AS chars,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS ws_tokens,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality": r"""
+            WITH per_doc AS (
+                SELECT doc_id,
+                       LENGTH(COALESCE(text, '')) AS n_chars,
+                       LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS punct,
+                       LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS digits
+                FROM documents
+            )
+            SELECT COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars,
+                   SUM(CASE WHEN CAST(punct AS DOUBLE) /
+                            (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) > 0.10
+                       THEN 1 ELSE 0 END) AS punct_heavy,
+                   SUM(CASE WHEN CAST(digits AS DOUBLE) /
+                            (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) > 0.10
+                       THEN 1 ELSE 0 END) AS digit_heavy
+            FROM per_doc
+        """,
+        "lang_id": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tk
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id,
+                       LEN(LIST_INTERSECT(tk, ['the','and','of','to','in','is','that','it','for','was'])) AS h_en,
+                       LEN(LIST_INTERSECT(tk, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS h_de,
+                       LEN(LIST_INTERSECT(tk, ['le','la','les','et','est','des','une','dans','que','pour'])) AS h_fr,
+                       LEN(LIST_INTERSECT(tk, ['el','la','los','de','que','y','en','un','una','por'])) AS h_es
+                FROM toks
+            ),
+            pred AS (
+                SELECT doc_id,
+                       CASE WHEN GREATEST(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
+                            WHEN h_en = GREATEST(h_en,h_de,h_fr,h_es) THEN 'en'
+                            WHEN h_de = GREATEST(h_en,h_de,h_fr,h_es) THEN 'de'
+                            WHEN h_fr = GREATEST(h_en,h_de,h_fr,h_es) THEN 'fr'
+                            ELSE 'es' END AS pred_lang
+                FROM hits
+            )
+            SELECT pred_lang, COUNT(*) AS n_docs FROM pred
+            GROUP BY pred_lang ORDER BY pred_lang
+        """,
+        "exact_dedup": """
+            WITH g AS (
+                SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+                FROM documents GROUP BY COALESCE(text, '')
+            )
+            SELECT doc_id, dup_count FROM g WHERE dup_count > 1 ORDER BY doc_id
+        """,
+        "fingerprint_dedup": r"""
+            WITH fp AS (
+                SELECT SHA256(TRIM(REGEXP_REPLACE(
+                           REGEXP_REPLACE(LOWER(COALESCE(text, '')), '[^\w\s]', '', 'g'),
+                           '\s+', ' ', 'g'))) AS fingerprint
+                FROM documents
+            )
+            SELECT fingerprint, COUNT(*) AS cluster_size FROM fp
+            GROUP BY fingerprint HAVING COUNT(*) >= 2 ORDER BY fingerprint
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   LEN(embedding) AS dims,
+                   ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+                   label
+            FROM embeddings ORDER BY vec_id
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            scored AS (
+                SELECT q.query_id, c.neighbor_id,
+                       LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv) + 1),
+                           i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                       / (SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * SQRT(LIST_SUM(LIST_TRANSFORM(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cosine
+                FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+    }

@@ -130,32 +130,40 @@ def apply_batch(
         table, [json.loads(r["schema_change"]) for r in sc_rows]
     )
 
-    # 2. DML: salted last-writer-wins dedup
+    # 2. DML: salted last-writer-wins dedup.  Persist the deduped change-set
+    #    once — lineage aggregation and every MERGE action reuse it instead
+    #    of re-running the salted two-phase shuffle.
     dml = events.filter(F.col("op").isin("insert", "update", "delete"))
     deduped = dedup_last_writer_wins(
         dml.select("event_seq", "op", "repo", "path", "commit", "lang", "content"),
         key_cols=list(table.key_cols),
         salt_buckets=salt_buckets,
-    )
-    changes = _project_to_table(table, deduped, op_col="op")
+    ).persist()
+    try:
+        changes = _project_to_table(table, deduped, op_col="op")
 
-    # 3. per-bucket lineage pre-aggregation (one small extra agg)
-    lineage_rows = None
-    if lineage is not None:
-        lineage_rows = (
-            deduped.withColumn("__bucket", table.bucket_expr())
-            .groupBy("__bucket")
-            .agg(
-                F.min("event_seq").alias("first_event_seq"),
-                F.max("event_seq").alias("last_event_seq"),
-                F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("rows_upserted"),
-                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_deleted"),
+        # 3. per-bucket lineage pre-aggregation (one small agg on the cache)
+        lineage_rows = None
+        if lineage is not None:
+            lineage_rows = (
+                deduped.withColumn("__bucket", table.bucket_expr())
+                .groupBy("__bucket")
+                .agg(
+                    F.min("event_seq").alias("first_event_seq"),
+                    F.max("event_seq").alias("last_event_seq"),
+                    F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("rows_upserted"),
+                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_deleted"),
+                )
+                .collect()
             )
-            .collect()
-        )
 
-    # 4. MERGE (exactly-once marker written inside)
-    stats = table.merge(changes, op_col="op", batch_id=batch_id)
+        # 4. MERGE (exactly-once marker written inside).  Exact-delete
+        #    accounting (semi-join vs existing) is skipped on the hot path —
+        #    rows_deleted then reports requested deletes from the same
+        #    aggregation that finds touched buckets.
+        stats = table.merge(changes, op_col="op", batch_id=batch_id, count_deletes=False)
+    finally:
+        deduped.unpersist()
     stats["schema_changes_applied"] = schema_applied
     latency_ms = int((time.monotonic() - t0) * 1000)
     stats["apply_latency_ms"] = latency_ms

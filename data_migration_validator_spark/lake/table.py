@@ -337,26 +337,45 @@ class LakeTable:
             return {"skipped": True, "batch_id": batch_id}
 
         keys = self.key_cols
-        changes = changes.withColumn("__bucket", self.bucket_expr())
-        touched = [r[0] for r in changes.select("__bucket").distinct().collect()]
+        # Persist the change-set: every downstream action (bucket stats,
+        # delete count, file write) reuses it instead of re-running the
+        # upstream dedup/shuffle DAG — this took the replay from O(actions ×
+        # full-DAG) to O(1 DAG + tiny cached scans) per batch.
+        changes = changes.withColumn("__bucket", self.bucket_expr()).persist()
+        try:
+            # ONE aggregation action yields touched buckets + upsert count.
+            bucket_stats = (
+                changes.groupBy("__bucket")
+                .agg(
+                    F.sum(F.when(F.col(op_col) != delete_value, 1).otherwise(0)).alias("n_up"),
+                    F.sum(F.when(F.col(op_col) == delete_value, 1).otherwise(0)).alias("n_del"),
+                )
+                .collect()
+            )
+            touched = [int(r["__bucket"]) for r in bucket_stats]
+            rows_upserted = int(sum(r["n_up"] for r in bucket_stats))
+            deletes_requested = int(sum(r["n_del"] for r in bucket_stats))
 
-        existing = self.read(buckets=touched)
-        change_keys = changes.select(*keys)
-        if broadcast_changes is None or broadcast_changes:
-            change_keys = F.broadcast(change_keys)
-        survivors = existing.join(change_keys, on=keys, how="left_anti")
+            existing = self.read(buckets=touched)
+            change_keys = changes.select(*keys)
+            if broadcast_changes is None or broadcast_changes:
+                change_keys = F.broadcast(change_keys)
+            survivors = existing.join(change_keys, on=keys, how="left_anti")
 
-        upserts = self._conform(changes.filter(F.col(op_col) != delete_value))
-        rows_upserted = upserts.count()
-        rows_deleted = 0
-        if count_deletes:
-            deletes = changes.filter(F.col(op_col) == delete_value).select(*keys)
-            rows_deleted = deletes.join(
-                existing.select(*keys), on=keys, how="left_semi"
-            ).count()
+            rows_deleted = 0
+            if count_deletes:
+                # exact deletes = delete keys actually present (file-pruned
+                # scan of touched buckets only; change side is cached).
+                deletes = changes.filter(F.col(op_col) == delete_value).select(*keys)
+                rows_deleted = deletes.join(
+                    existing.select(*keys), on=keys, how="left_semi"
+                ).count()
 
-        new_data = survivors.unionByName(upserts)
-        entries = self._write_files(new_data)
+            upserts = self._conform(changes.filter(F.col(op_col) != delete_value))
+            new_data = survivors.unionByName(upserts)
+            entries = self._write_files(new_data)
+        finally:
+            changes.unpersist()
 
         touched_set = set(touched)
         kept = [f for f in self.manifest["files"] if f["bucket"] not in touched_set]
@@ -368,7 +387,8 @@ class LakeTable:
         stats = {
             "skipped": False,
             "rows_upserted": rows_upserted,
-            "rows_deleted": rows_deleted,
+            "rows_deleted": rows_deleted if count_deletes else deletes_requested,
+            "rows_delete_requested": deletes_requested,
             "touched_buckets": sorted(touched),
             "seq": m["seq"],
         }

@@ -65,9 +65,12 @@ def _shingles(text_col: str, n: int):
 
 
 def minhash_signature(text_col: str, num_hashes: int = 32, ngram: int = 3):
-    """array<bigint> of ``num_hashes`` min-hashes over word n-gram shingles.
+    """array<bigint> of ``num_hashes`` min-hashes over word n-gram shingles,
+    as a single Column expression.  Hash family = xxhash64(shingle, seed=h).
 
-    Hash family = xxhash64(shingle, seed=h) — deterministic, JVM-side.
+    NOTE: per-row expression form — each array_min re-walks the shingle
+    array, so cost is O(num_hashes × shingles).  The hot path uses
+    :func:`minhash_signatures` (explode + one grouped aggregation) instead.
     """
     sh = _shingles(text_col, ngram)
 
@@ -76,6 +79,38 @@ def minhash_signature(text_col: str, num_hashes: int = 32, ngram: int = 3):
 
     return F.array(
         *[F.array_min(F.transform(sh, _hasher(h))) for h in range(num_hashes)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, __sig array<bigint>) via explode → grouped min-aggregation.
+
+    Shingles are materialized ONCE per document (explode), then all
+    ``num_hashes`` minima are computed in one hash-aggregate pass — flat
+    codegen aggregates over bigint hashes, no nested higher-order re-walks.
+    One shuffle on ``id_col`` (map-side partial mins make it tiny).  This is
+    the formulation that survives a 100 TB corpus.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, ngram)).alias("__shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64("__shingle", F.lit(h))).alias(f"__h{h}")
+        for h in range(num_hashes)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("__sig"),
+        )
     )
 
 
@@ -96,9 +131,7 @@ def minhash_lsh_candidates(
     ``oversized`` count by :func:`minhash_near_dup`.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, ngram).alias("__sig")
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
     banded = sig.select(
         id_col,
         F.explode(
@@ -220,6 +253,36 @@ def simhash(text_col: str, bits: int = 64):
     )
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, __sh bigint) — SimHash via explode → grouped bit-vote sums.
+
+    Tokens explode once; the per-bit ±1 votes are ``bits`` flat SUM
+    aggregates over ``(hash >> b) & 1`` (whole-stage codegen, map-side
+    partials), then sign bits pack into one long.  Replaces the nested
+    array-of-64 fold of :func:`simhash` for the hot path — same output.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("__tok")
+    ).withColumn("__th", F.xxhash64("__tok"))
+    aggs = [
+        F.sum(
+            F.shiftright("__th", b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(id_col, sig.alias("__sh"))
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str,
@@ -232,7 +295,7 @@ def simhash_near_dup(
     distance ≤ bits - bits/bands guaranteed covered for small distances).
     Output (id_a, id_b, hamming)."""
     chunk = bits // bands
-    sig = df.select(F.col(id_col), simhash(text_col, bits).alias("__sh"))
+    sig = simhash_signatures(df, text_col, id_col, bits)
     banded = sig.select(
         id_col,
         "__sh",
