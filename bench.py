@@ -113,7 +113,7 @@ def main():
         fn(spark, sf_dir).count()
         per_query[name] = round(time.monotonic() - t0, 3)
 
-    cdc = bench_cdc_replay(spark, n_events=int(200_000 * max(sf / 0.1, 0.1)))
+    cdc = bench_cdc_replay(spark, n_events=int(400_000 * max(sf / 0.1, 0.1)), n_batches=4)
     per_query["cdc_replay"] = cdc["replay_sec"]
 
     total = round(sum(per_query.values()), 3)

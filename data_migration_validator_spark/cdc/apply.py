@@ -56,9 +56,15 @@ def dedup_last_writer_wins(
     winner = F.struct(F.col(order_col), F.col("commit"), *[F.col(c) for c in payload_cols if c not in (order_col, "commit")])
     order_key = F.struct(F.col(order_col), F.col("commit"))
 
+    # Phase 1 groups by (key, salt): the salt column IS the explicit skew
+    # defusal (north rule) — a hot key's events spread over ``salt_buckets``
+    # reducers.  No repartition() before it: the hash aggregate's map-side
+    # partial max_by already collapses each (key, salt) to one row per task,
+    # so the only full-width shuffle moves ≤ tasks × keys × salt partial
+    # winners, not the raw events.
     salted = events.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
-    ).repartition(*key_cols, "__salt")
+    )
     partial = salted.groupBy(*key_cols, "__salt").agg(
         F.max_by(winner, order_key).alias("__w"), F.max(order_key).alias("__k")
     )

@@ -19,6 +19,19 @@ from ..lake.table import LakeTable
 from .apply import apply_batch
 
 
+def pending_batches(table: LakeTable, events_dir: str) -> list[int]:
+    """Unapplied batch ids, in order — the replay-native form of the
+    reference's unvalidated-COMPLETED-batch discovery join
+    (migration-data-validation.py:1792-1818): available batches minus the
+    commit log, no SQL bookkeeping tables."""
+    available = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(events_dir)
+        if d.startswith("batch_hint=")
+    )
+    return [b for b in available if not table.has_batch(b)]
+
+
 def replay(
     table: LakeTable,
     events_dir: str,

@@ -397,8 +397,77 @@ class LakeTable:
         return stats
 
     # ------------------------------------------------------------------ #
+    # row-level UPDATE / DELETE (reference S14 point updates,
+    # migration-data-validation.py:1756-1769; validation_summary.py passim)
+    # ------------------------------------------------------------------ #
+    def update_where(self, predicate: str, assignments: dict[str, object]) -> int:
+        """``UPDATE t SET col = expr WHERE pred`` as copy-on-write rewrite.
+
+        ``assignments`` maps column → SQL expression string (or literal via
+        ``F.lit`` semantics — strings are parsed with ``F.expr``).  Only
+        buckets containing matching rows are rewritten.  Returns #rows
+        updated.
+        """
+        df = self.read(with_bucket=True)
+        hit = F.expr(predicate)
+        touched = [
+            r[0]
+            for r in df.filter(hit).select("__bucket").distinct().collect()
+        ]
+        if not touched:
+            return 0
+        scoped = self.read(buckets=touched)
+        n = scoped.filter(F.expr(predicate)).count()
+        updated = scoped.withColumns(
+            {
+                c: F.when(F.expr(predicate), F.expr(str(v))).otherwise(F.col(c))
+                for c, v in assignments.items()
+            }
+        )
+        entries = self._write_files(self._conform(updated))
+        kept = [f for f in self.manifest["files"] if f["bucket"] not in set(touched)]
+        self._write_manifest(self._next_manifest(files=kept + entries))
+        return n
+
+    def delete_where(self, predicate: str) -> int:
+        """``DELETE FROM t WHERE pred`` — bucket-pruned copy-on-write."""
+        df = self.read(with_bucket=True)
+        touched = [
+            r[0]
+            for r in df.filter(F.expr(predicate)).select("__bucket").distinct().collect()
+        ]
+        if not touched:
+            return 0
+        scoped = self.read(buckets=touched)
+        n = scoped.filter(F.expr(predicate)).count()
+        survivors = scoped.filter(~F.expr(predicate))
+        entries = self._write_files(self._conform(survivors))
+        kept = [f for f in self.manifest["files"] if f["bucket"] not in set(touched)]
+        self._write_manifest(self._next_manifest(files=kept + entries))
+        return n
+
+    # ------------------------------------------------------------------ #
     # introspection
     # ------------------------------------------------------------------ #
+    def detail(self) -> dict:
+        """``DESCRIBE DETAIL`` analog (reference A7 size metric,
+        migration-data-validation.py:1642-1643): rows/files/bytes from
+        manifest + footers — metadata only, no scan."""
+        files = self.manifest["files"]
+        size = 0
+        for f in files:
+            p = os.path.join(self.root, f["path"])
+            if os.path.exists(p):
+                size += os.path.getsize(p)
+        return {
+            "num_files": len(files),
+            "num_rows": sum(f["rows"] for f in files),
+            "size_in_bytes": size,
+            "num_buckets": self.num_buckets,
+            "schema_id": self.manifest["schema_id"],
+            "seq": self.manifest["seq"],
+        }
+
     def history(self) -> list[dict]:
         mdir = os.path.join(self.root, "_manifest")
         out = []

@@ -2,9 +2,18 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_candidates,
     minhash_near_dup,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dup,
+    simhash_signatures,
+)
+from .projection import (  # noqa: F401
+    cast_all_to_string,
+    exclude_metadata_columns,
+    mapped_projection,
+    null_safe_string_projection,
+    suffix_projection,
 )
 from .similarity import (  # noqa: F401
     brute_force_topk,
