@@ -16,3 +16,5 @@ from .schema_check import (  # noqa: F401
     type_compatibility,
 )
 from .summary import validation_summary  # noqa: F401
+from .pipeline import run_validation  # noqa: F401
+from .quick import anomalous_keys, fetch_anomalous_rows, quick_validate  # noqa: F401

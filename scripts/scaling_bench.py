@@ -30,7 +30,9 @@ from data_migration_validator_spark.cdc.replay import replay
 from data_migration_validator_spark.lake.table import LakeTable
 from data_migration_validator_spark.validation.reconcile import hash_reconcile
 
+import os
 n_events, cores, events_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm")
 # IDENTICAL job at both parallelism levels: same shuffle partitioning, same
 # bucket count, same input — only the executor-thread count differs.
 spark = (
@@ -42,7 +44,7 @@ spark = (
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
-with tempfile.TemporaryDirectory() as tmp:
+with tempfile.TemporaryDirectory(dir=workdir) as tmp:
     table = LakeTable.create(
         spark, f"{tmp}/repo_content",
         [("repo", "string"), ("path", "string"), ("commit", "string"),
@@ -91,9 +93,16 @@ def spark_submit(cores: int, script: str, args: list[str]) -> str:
             ["zip", "-qr", pkg, "data_migration_validator_spark"],
             cwd=repo, check=True,
         )
+    # Shuffle + data I/O must not bottleneck the scaling measurement: the
+    # sandbox's /tmp sits on a shared virtual disk, so spill/shuffle dirs go
+    # to tmpfs (the cluster-analog assumption: per-executor local SSDs whose
+    # aggregate bandwidth scales with executor count).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     out = subprocess.run(
         ["spark-submit", "--master", f"local[{cores}]",
-         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+         "--conf", f"spark.local.dir={local_dir}",
          "--py-files", pkg, path, *args],
         capture_output=True, text=True, cwd=repo, check=True,
     )
@@ -106,7 +115,8 @@ def main():
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
 
-    with tempfile.TemporaryDirectory() as tmp:
+    workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm")
+    with tempfile.TemporaryDirectory(dir=workdir) as tmp:
         events_dir = os.path.join(tmp, "events")
         spark_submit(32, GEN, [str(n_events), events_dir])
 
