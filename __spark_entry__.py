@@ -747,7 +747,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                    COUNT(*) AS count_order,
-                   SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS high_discount_lines
+                   CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount_lines
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -827,9 +827,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "conditional_counts": """
             SELECT COUNT(*) AS total_orders,
-                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-                   SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-                   SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_large
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
             FROM orders
         """,
         "collect_set_agg": """
@@ -855,10 +855,10 @@ def oracle_sql() -> dict[str, str]:
                         AND s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority) AS eq
                 FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
             )
-            SELECT SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND eq THEN 1 ELSE 0 END) AS matches,
-                   SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq THEN 1 ELSE 0 END) AS mismatches,
-                   SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS src_extras,
-                   SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS tgt_extras
+            SELECT CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND eq THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+                   CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq THEN 1 ELSE 0 END) AS BIGINT) AS mismatches,
+                   CAST(SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS src_extras,
+                   CAST(SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tgt_extras
             FROM j
         """,
         "recon_status_rows": f"""
@@ -946,12 +946,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM s FULL OUTER JOIN t ON s.event_id = t.event_id
             )
             SELECT bucket_date,
-                   SUM(CASE WHEN sk IS NOT NULL THEN 1 ELSE 0 END) AS src_count,
-                   SUM(CASE WHEN tk IS NOT NULL THEN 1 ELSE 0 END) AS tgt_count,
-                   SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS src_extras,
-                   SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS tgt_extras,
-                   SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq
-                            THEN 1 ELSE 0 END) AS mismatched_rows
+                   CAST(SUM(CASE WHEN sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS src_count,
+                   CAST(SUM(CASE WHEN tk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tgt_count,
+                   CAST(SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS src_extras,
+                   CAST(SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tgt_extras,
+                   CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq
+                            THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_rows
             FROM j GROUP BY bucket_date ORDER BY bucket_date
         """,
         "extras_rows": f"""
@@ -980,13 +980,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT COUNT(*) AS n_docs,
-                   SUM(n_chars) AS total_chars,
-                   SUM(CASE WHEN CAST(punct AS DOUBLE) /
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(CASE WHEN CAST(punct AS DOUBLE) /
                             (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) > 0.10
-                       THEN 1 ELSE 0 END) AS punct_heavy,
-                   SUM(CASE WHEN CAST(digits AS DOUBLE) /
+                       THEN 1 ELSE 0 END) AS BIGINT) AS punct_heavy,
+                   CAST(SUM(CASE WHEN CAST(digits AS DOUBLE) /
                             (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) > 0.10
-                       THEN 1 ELSE 0 END) AS digit_heavy
+                       THEN 1 ELSE 0 END) AS BIGINT) AS digit_heavy
             FROM per_doc
         """,
         "lang_id": r"""
