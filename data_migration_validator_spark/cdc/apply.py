@@ -114,12 +114,17 @@ def apply_batch(
     batch_id=None,
     lineage: LakeTable | None = None,
     salt_buckets: int = 16,
+    count_deletes: bool = False,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``.
 
     Idempotent on ``batch_id``: a redelivered or replayed-after-crash batch
     is a no-op (generalizes the reference's skip of already-validated
     batches, ``migration-data-validation.py:1816-1817``).
+
+    ``count_deletes=True`` adds an exact semi-join accounting pass so
+    ``rows_deleted`` counts only deletes of keys actually present; the
+    default hot path reports ``rows_delete_requested`` only.
     """
     t0 = time.monotonic()
     if batch_id is not None and table.has_batch(batch_id):
@@ -158,16 +163,18 @@ def apply_batch(
                     F.min("event_seq").alias("first_event_seq"),
                     F.max("event_seq").alias("last_event_seq"),
                     F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("rows_upserted"),
-                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_deleted"),
+                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_delete_requested"),
                 )
                 .collect()
             )
 
         # 4. MERGE (exactly-once marker written inside).  Exact-delete
         #    accounting (semi-join vs existing) is skipped on the hot path —
-        #    rows_deleted then reports requested deletes from the same
-        #    aggregation that finds touched buckets.
-        stats = table.merge(changes, op_col="op", batch_id=batch_id, count_deletes=False)
+        #    the stats then carry only rows_delete_requested, never an
+        #    approximate value under the exact stat's name.
+        stats = table.merge(
+            changes, op_col="op", batch_id=batch_id, count_deletes=count_deletes
+        )
     finally:
         deduped.unpersist()
     stats["schema_changes_applied"] = schema_applied
@@ -184,7 +191,7 @@ def apply_batch(
                     int(r["first_event_seq"]),
                     int(r["last_event_seq"]),
                     int(r["rows_upserted"]),
-                    int(r["rows_deleted"]),
+                    int(r["rows_delete_requested"]),
                     latency_ms,
                     now,
                 )
@@ -192,7 +199,7 @@ def apply_batch(
             ],
             schema=(
                 "batch_id long, partition_id int, first_event_seq long, "
-                "last_event_seq long, rows_upserted long, rows_deleted long, "
+                "last_event_seq long, rows_upserted long, rows_delete_requested long, "
                 "apply_latency_ms long, committed_at double"
             ),
         )
@@ -206,7 +213,7 @@ LINEAGE_SCHEMA = [
     ("first_event_seq", "bigint"),
     ("last_event_seq", "bigint"),
     ("rows_upserted", "bigint"),
-    ("rows_deleted", "bigint"),
+    ("rows_delete_requested", "bigint"),
     ("apply_latency_ms", "bigint"),
     ("committed_at", "double"),
 ]

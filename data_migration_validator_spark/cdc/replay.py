@@ -38,6 +38,7 @@ def replay(
     lineage: LakeTable | None = None,
     batch_ids: list[int] | None = None,
     salt_buckets: int = 16,
+    count_deletes: bool = False,
 ) -> dict:
     """Replay batched events (written by ``write_events_batched``) in order.
 
@@ -53,11 +54,16 @@ def replay(
             if d.startswith("batch_hint=")
         )
     t0 = time.monotonic()
-    n_applied = n_skipped = total_upserted = total_deleted = 0
+    n_applied = n_skipped = total_upserted = total_deleted = total_del_req = 0
     for bid in batch_ids:
         batch_df = spark.read.parquet(os.path.join(events_dir, f"batch_hint={bid}"))
         stats = apply_batch(
-            table, batch_df, batch_id=bid, lineage=lineage, salt_buckets=salt_buckets
+            table,
+            batch_df,
+            batch_id=bid,
+            lineage=lineage,
+            salt_buckets=salt_buckets,
+            count_deletes=count_deletes,
         )
         if stats.get("skipped"):
             n_skipped += 1
@@ -65,10 +71,14 @@ def replay(
             n_applied += 1
             total_upserted += stats.get("rows_upserted", 0)
             total_deleted += stats.get("rows_deleted", 0)
-    return {
+            total_del_req += stats.get("rows_delete_requested", 0)
+    out = {
         "batches_applied": n_applied,
         "batches_skipped": n_skipped,
         "rows_upserted": total_upserted,
-        "rows_deleted": total_deleted,
+        "rows_delete_requested": total_del_req,
         "wall_s": time.monotonic() - t0,
     }
+    if count_deletes:
+        out["rows_deleted"] = total_deleted
+    return out

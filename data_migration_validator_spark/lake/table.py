@@ -41,7 +41,7 @@ import time
 import uuid
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .schema import TableSchema
@@ -49,10 +49,14 @@ from .schema import TableSchema
 _MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
 
 
-def _parquet_row_count(path: str) -> int:
+def _footer_stats(path: str) -> tuple[str, int, int]:
+    """(path, rows, bytes) from one parquet footer — runs on EXECUTORS
+    (see ``LakeTable._file_stats``); never called on the driver."""
+    import os as _os
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    return path, pq.ParquetFile(path).metadata.num_rows, _os.path.getsize(path)
 
 
 class LakeTable:
@@ -267,19 +271,35 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out)
         )
+        paths = glob.glob(os.path.join(out, "__bucket=*", "*.parquet"))
+        stats = self._file_stats(paths)
         entries = []
-        for p in glob.glob(os.path.join(out, "__bucket=*", "*.parquet")):
+        for p in paths:
             bucket = int(p.split("__bucket=")[1].split(os.sep)[0])
             rel = os.path.relpath(p, self.root)
+            rows, nbytes = stats[p]
             entries.append(
                 {
                     "path": rel,
                     "bucket": bucket,
-                    "rows": _parquet_row_count(p),
+                    "rows": rows,
+                    "bytes": nbytes,
                     "schema_id": self.manifest["schema_id"],
                 }
             )
         return entries
+
+    def _file_stats(self, paths: list[str]) -> dict[str, tuple[int, int]]:
+        """Per-file (rows, bytes) from parquet footers, gathered on the
+        EXECUTORS in one tiny Spark job — the driver never opens a footer.
+        At 100× scale this is the difference between a driver O(#files)
+        stall per commit and a constant-time commit."""
+        if not paths:
+            return {}
+        sc = self.spark.sparkContext
+        n_slices = max(1, min(len(paths), 64))
+        out = sc.parallelize(paths, n_slices).map(_footer_stats).collect()
+        return {p: (rows, nbytes) for p, rows, nbytes in out}
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-table replace (CTAS / initial load)."""
@@ -316,6 +336,7 @@ class LakeTable:
         batch_id=None,
         broadcast_changes: bool | None = None,
         count_deletes: bool = True,
+        broadcast_max_rows: int = 500_000,
     ) -> dict:
         """Copy-on-write MERGE of a pre-deduped change-set.
 
@@ -325,13 +346,20 @@ class LakeTable:
         Plan shape (the one you'd want at 100 TB):
           1. touched buckets  ← distinct bucket of changes (tiny collect).
           2. existing         ← file-pruned scan of ONLY those buckets.
-          3. survivors        ← existing LEFT ANTI broadcast(change keys)
-                                 — table side never shuffles for the join.
+          3. survivors        ← existing LEFT ANTI join with the change keys.
+             The key set is broadcast only when the change-set is small
+             (``broadcast_max_rows``, decided from the SAME aggregation that
+             finds touched buckets — no extra action); a big batch (initial
+             load, backfill) falls back to a shuffle anti-join instead of
+             OOMing the driver.  ``broadcast_changes=True/False`` overrides.
           4. new bucket data  ← survivors ∪ upserts (deletes drop out).
           5. one shuffle on __bucket to lay the rewrite out; commit manifest
              swapping the touched buckets' files.
 
-        Returns stats {rows_upserted, rows_deleted, touched_buckets, skipped}.
+        Returns stats {rows_upserted, rows_deleted, touched_buckets, skipped};
+        ``rows_deleted`` is the EXACT count (delete keys actually present)
+        only when ``count_deletes=True``; otherwise it is omitted and only
+        ``rows_delete_requested`` is reported.
         """
         if batch_id is not None and self.has_batch(batch_id):
             return {"skipped": True, "batch_id": batch_id}
@@ -358,7 +386,10 @@ class LakeTable:
 
             existing = self.read(buckets=touched)
             change_keys = changes.select(*keys)
-            if broadcast_changes is None or broadcast_changes:
+            n_changes = rows_upserted + deletes_requested
+            if broadcast_changes is True or (
+                broadcast_changes is None and n_changes <= broadcast_max_rows
+            ):
                 change_keys = F.broadcast(change_keys)
             survivors = existing.join(change_keys, on=keys, how="left_anti")
 
@@ -387,11 +418,12 @@ class LakeTable:
         stats = {
             "skipped": False,
             "rows_upserted": rows_upserted,
-            "rows_deleted": rows_deleted if count_deletes else deletes_requested,
             "rows_delete_requested": deletes_requested,
             "touched_buckets": sorted(touched),
             "seq": m["seq"],
         }
+        if count_deletes:
+            stats["rows_deleted"] = rows_deleted
         if batch_id is not None:
             self._record_batch(batch_id, m["seq"], stats)
         return stats
@@ -400,27 +432,88 @@ class LakeTable:
     # row-level UPDATE / DELETE (reference S14 point updates,
     # migration-data-validation.py:1756-1769; validation_summary.py passim)
     # ------------------------------------------------------------------ #
+    def _buckets_from_predicate(self, predicate: str) -> list[int] | None:
+        """Static bucket pruning: if ``predicate`` is a conjunction that pins
+        the bucket column to literal value(s) (``src = 'x'`` / ``src IN
+        ('a','b')``), return their buckets so the discovery scan is
+        file-pruned too.  Returns None (no pruning) when the predicate can't
+        be analyzed safely — any OR, or no bucket-column equality."""
+        src = self.bucket_source
+        if re.search(r"\bOR\b", predicate, re.IGNORECASE):
+            return None
+        lit = r"'[^']*'|\"[^\"]*\"|-?\d+"
+        m = re.search(
+            rf"\b{re.escape(src)}\s*(?:==|=)\s*({lit})", predicate
+        ) or re.search(
+            rf"\b{re.escape(src)}\s+IN\s*\(\s*((?:{lit})(?:\s*,\s*(?:{lit}))*)\s*\)",
+            predicate,
+            re.IGNORECASE,
+        )
+        if not m:
+            return None
+        vals = re.findall(r"'[^']*'|\"[^\"]*\"|-?\d+", m.group(1))
+        if not vals:
+            return None
+        fld = self.schema.field_by_name(src)
+        cols = [
+            self.bucket_expr_for_literal(v, fld.type if fld else "string").alias(f"b{i}")
+            for i, v in enumerate(vals)
+        ]
+        row = self.spark.range(1).select(*cols).first()
+        return sorted({int(b) for b in row})
+
+    def bucket_expr_for_literal(self, raw: str, type_str: str) -> F.Column:
+        """Bucket id of one SQL literal (quoted string or bare int) under
+        this table's partition spec."""
+        if raw[:1] in ("'", '"'):
+            val = F.lit(raw[1:-1]).cast(type_str)
+        else:
+            val = F.lit(int(raw)).cast(type_str)
+        return F.pmod(F.xxhash64(val), F.lit(self.num_buckets)).cast("int")
+
+    def _discover_touched(self, predicate: str) -> tuple[list[int], int]:
+        """ONE scan + one action: (touched buckets, matching-row count).
+        The scan is file-pruned up front when the predicate pins the bucket
+        column to literals."""
+        pre = self._buckets_from_predicate(predicate)
+        df = self.read(buckets=pre, with_bucket=True)
+        row = (
+            df.filter(F.expr(predicate))
+            .agg(
+                F.collect_set("__bucket").alias("b"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        return sorted(int(b) for b in (row["b"] or [])), int(row["n"])
+
     def update_where(self, predicate: str, assignments: dict[str, object]) -> int:
         """``UPDATE t SET col = expr WHERE pred`` as copy-on-write rewrite.
 
-        ``assignments`` maps column → SQL expression string (or literal via
-        ``F.lit`` semantics — strings are parsed with ``F.expr``).  Only
-        buckets containing matching rows are rewritten.  Returns #rows
-        updated.
+        ``assignments`` maps column → pyspark ``Column`` OR a SQL expression
+        string.  A bare string is parsed with ``F.expr`` — quote literals
+        (``{"lang": "'python'"}``) or pass ``F.lit("python")`` directly.
+        Two scans total: one fused discovery pass (touched buckets + match
+        count in a single action, bucket-pruned when the predicate pins the
+        bucket column) and one file-pruned rewrite of the touched buckets.
+        Returns #rows updated.
         """
-        df = self.read(with_bucket=True)
-        hit = F.expr(predicate)
-        touched = [
-            r[0]
-            for r in df.filter(hit).select("__bucket").distinct().collect()
-        ]
+        for c, v in assignments.items():
+            if not isinstance(v, (Column, str)):
+                raise TypeError(
+                    f"assignment for {c!r} must be a Column or SQL expression "
+                    f"string, got {type(v).__name__}"
+                )
+        touched, n = self._discover_touched(predicate)
         if not touched:
             return 0
         scoped = self.read(buckets=touched)
-        n = scoped.filter(F.expr(predicate)).count()
         updated = scoped.withColumns(
             {
-                c: F.when(F.expr(predicate), F.expr(str(v))).otherwise(F.col(c))
+                c: F.when(
+                    F.expr(predicate),
+                    v if isinstance(v, Column) else F.expr(v),
+                ).otherwise(F.col(c))
                 for c, v in assignments.items()
             }
         )
@@ -430,21 +523,65 @@ class LakeTable:
         return n
 
     def delete_where(self, predicate: str) -> int:
-        """``DELETE FROM t WHERE pred`` — bucket-pruned copy-on-write."""
-        df = self.read(with_bucket=True)
-        touched = [
-            r[0]
-            for r in df.filter(F.expr(predicate)).select("__bucket").distinct().collect()
-        ]
+        """``DELETE FROM t WHERE pred`` — bucket-pruned copy-on-write.
+        Same two-scan shape as :meth:`update_where`."""
+        touched, n = self._discover_touched(predicate)
         if not touched:
             return 0
         scoped = self.read(buckets=touched)
-        n = scoped.filter(F.expr(predicate)).count()
         survivors = scoped.filter(~F.expr(predicate))
         entries = self._write_files(self._conform(survivors))
         kept = [f for f in self.manifest["files"] if f["bucket"] not in set(touched)]
         self._write_manifest(self._next_manifest(files=kept + entries))
         return n
+
+    # ------------------------------------------------------------------ #
+    # snapshot expiry / vacuum (reference S16 DROP/purge,
+    # migration-data-validation.py:1687-1699)
+    # ------------------------------------------------------------------ #
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop manifest versions older than the newest ``keep_last`` and
+        delete data files referenced only by the expired versions.
+
+        COW merges de-reference superseded files but never delete them, so
+        without vacuum storage grows without bound.  Files referenced by ANY
+        retained manifest survive (time-travel over the retained window
+        stays valid).  Returns {manifests_removed, files_removed,
+        bytes_reclaimed}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        mdir = os.path.join(self.root, "_manifest")
+        versions = sorted(glob.glob(os.path.join(mdir, "v*.json")))
+        expired, kept = versions[:-keep_last], versions[-keep_last:]
+        live: set[str] = set()
+        for mp in kept:
+            with open(mp) as f:
+                for entry in json.load(f)["files"]:
+                    live.add(entry["path"])
+        data_root = os.path.join(self.root, "data")
+        files_removed = 0
+        bytes_reclaimed = 0
+        for p in glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(p, self.root)
+            if rel not in live:
+                bytes_reclaimed += os.path.getsize(p)
+                os.remove(p)
+                files_removed += 1
+        # drop now-empty snapshot directories (bottom-up)
+        for d, subdirs, fnames in os.walk(data_root, topdown=False):
+            if d != data_root and not subdirs and not fnames:
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    pass
+        for mp in expired:
+            os.remove(mp)
+        return {
+            "manifests_removed": len(expired),
+            "files_removed": files_removed,
+            "bytes_reclaimed": bytes_reclaimed,
+        }
 
     # ------------------------------------------------------------------ #
     # introspection
@@ -456,9 +593,12 @@ class LakeTable:
         files = self.manifest["files"]
         size = 0
         for f in files:
-            p = os.path.join(self.root, f["path"])
-            if os.path.exists(p):
-                size += os.path.getsize(p)
+            if "bytes" in f:  # recorded by the executor-side footer job
+                size += f["bytes"]
+            else:  # legacy entry — driver stat fallback
+                p = os.path.join(self.root, f["path"])
+                if os.path.exists(p):
+                    size += os.path.getsize(p)
         return {
             "num_files": len(files),
             "num_rows": sum(f["rows"] for f in files),

@@ -47,7 +47,10 @@ def exact_dedup(
 # shingling + MinHash
 # --------------------------------------------------------------------------- #
 def _tokens(text_col: str):
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # NULL text coalesces to "" so every document yields at least one
+    # (empty) token — null/empty docs must still receive a signature and
+    # cluster together instead of silently vanishing from the explode.
+    return F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
 
 
 def _shingles(text_col: str, n: int):
@@ -289,11 +292,18 @@ def simhash_near_dup(
     id_col: str,
     bands: int = 4,
     bits: int = 64,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup candidates by banded SimHash: split the 64-bit signature into
     ``bands`` chunks; pairs sharing any chunk are candidates (Hamming
     distance ≤ bits - bits/bands guaranteed covered for small distances).
-    Output (id_a, id_b, hamming)."""
+    Output (id_a, id_b, hamming).
+
+    ``max_bucket`` caps band buckets exactly like the MinHash path: 16-bit
+    band keys collide massively on short/boilerplate corpora (the all-zeros
+    band is a magnet), and one hot bucket is a quadratic reducer at scale.
+    Oversized buckets are dropped before the self-join.
+    """
     chunk = bits // bands
     sig = simhash_signatures(df, text_col, id_col, bits)
     banded = sig.select(
@@ -313,6 +323,10 @@ def simhash_near_dup(
             )
         ).alias("bk"),
     ).select(id_col, "__sh", "bk.band", "bk.bkey")
+    wcount = Window.partitionBy("band", "bkey")
+    banded = banded.withColumn("__bs", F.count(F.lit(1)).over(wcount)).filter(
+        F.col("__bs") <= max_bucket
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"), "band", "bkey"
     )

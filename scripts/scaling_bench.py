@@ -32,6 +32,7 @@ from data_migration_validator_spark.validation.reconcile import hash_reconcile
 
 import os
 n_events, cores, events_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+n_repos, n_batches = int(sys.argv[4]), int(sys.argv[5])
 workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm")
 # IDENTICAL job at both parallelism levels: same shuffle partitioning, same
 # bucket count, same input — only the executor-thread count differs.
@@ -54,8 +55,9 @@ with tempfile.TemporaryDirectory(dir=workdir) as tmp:
     t0 = time.monotonic()
     stats = replay(table, events_dir)
     wall = time.monotonic() - t0
-    ev = change_events(spark, n_events=n_events, n_repos=500, seed=42,
-                       batch_size=max(1, n_events // 4))
+    ev = change_events(spark, n_events=n_events, n_repos=n_repos,
+                       paths_per_repo=2000, seed=42,
+                       batch_size=max(1, n_events // n_batches))
     rec = hash_reconcile(table.read(), expected_final_state(ev),
                          ["repo", "path"], ["commit", "lang", "content"])
     bad = rec.filter(F.col("status") != "MATCH").count()
@@ -70,13 +72,15 @@ GEN = r"""
 import sys
 from pyspark.sql import SparkSession
 from data_migration_validator_spark.cdc.events import change_events, write_events_batched
-n_events, out = int(sys.argv[1]), sys.argv[2]
+n_events, out, n_repos, n_batches = (
+    int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
 spark = (SparkSession.builder
     .config("spark.sql.shuffle.partitions", "64")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false").getOrCreate())
-ev = change_events(spark, n_events=n_events, n_repos=500, seed=42,
-                   batch_size=max(1, n_events // 4))
+ev = change_events(spark, n_events=n_events, n_repos=n_repos,
+                   paths_per_repo=2000, seed=42,
+                   batch_size=max(1, n_events // n_batches))
 write_events_batched(ev, out)
 print("GEN_OK")
 """
@@ -114,11 +118,13 @@ def main():
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    n_repos = int(os.environ.get("SCALING_REPOS", "5000"))
+    n_batches = int(os.environ.get("SCALING_BATCHES", "4"))
 
     workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm")
     with tempfile.TemporaryDirectory(dir=workdir) as tmp:
         events_dir = os.path.join(tmp, "events")
-        spark_submit(32, GEN, [str(n_events), events_dir])
+        spark_submit(32, GEN, [str(n_events), events_dir, str(n_repos), str(n_batches)])
 
         # The sandbox host has uncontrolled external load spikes (identical
         # runs vary several-fold), so interleave the two levels and take the
@@ -127,7 +133,8 @@ def main():
         for _ in range(repeats):
             for cores in (low, high):
                 stdout = spark_submit(
-                    cores, DRIVER, [str(n_events), str(cores), events_dir]
+                    cores, DRIVER, [str(n_events), str(cores), events_dir,
+                    str(n_repos), str(n_batches)]
                 )
                 line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][0]
                 runs[cores].append(json.loads(line[len("RESULT "):]))
@@ -143,6 +150,8 @@ def main():
     efficiency = (r_lo["wall_s"] / r_hi["wall_s"]) / ratio
     out = {
         "n_events": n_events,
+        "n_repos": n_repos,
+        "n_batches": n_batches,
         "low": r_lo,
         "high": r_hi,
         "core_ratio": ratio,

@@ -155,6 +155,64 @@ def test_append(spark, tmp_root):
     assert t.read().count() == 2
 
 
+def test_merge_large_batch_without_broadcast(spark, tmp_root):
+    # change-set above the broadcast threshold takes the shuffle anti-join
+    # path (broadcast of a backfill-sized key set would OOM at scale)
+    t = _mk(spark, tmp_root, num_buckets=4)
+    base = [(f"r{i}", "p", "c0", "py", f"old{i}") for i in range(500)]
+    t.overwrite(spark.createDataFrame(base, "repo string, path string, commit string, lang string, content string"))
+    changes = spark.createDataFrame(
+        [(f"r{i}", "p", "c1", "py", f"new{i}", "update") for i in range(400)]
+        + [(f"r{i}", "q", "c1", "py", "ins", "insert") for i in range(500, 600)],
+        "repo string, path string, commit string, lang string, content string, op string",
+    )
+    stats = t.merge(changes, batch_id=7, broadcast_max_rows=100)
+    assert stats["rows_upserted"] == 500
+    got = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert got[("r0", "p")] == "new0" and got[("r450", "p")] == "old450"
+    assert got[("r550", "q")] == "ins"
+    assert t.row_count() == 600
+    # explicit override still forces broadcast and agrees
+    stats2 = t.merge(changes.limit(0), batch_id=8, broadcast_changes=True)
+    assert stats2["rows_upserted"] == 0
+
+
+def test_merge_does_zero_driver_footer_reads(spark, tmp_root):
+    # per-file stats must come from the executor-side footer job; the
+    # DRIVER process must never open a parquet footer during a commit.
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, tmp_root, num_buckets=4)
+    driver_calls = []
+    orig_cls = pq.ParquetFile
+
+    class RecordingParquetFile(orig_cls):
+        def __init__(self, *a, **kw):
+            driver_calls.append(a)
+            super().__init__(*a, **kw)
+
+    pq.ParquetFile = RecordingParquetFile
+    try:
+        t.overwrite(
+            spark.createDataFrame(
+                [(f"r{i}", "p", "c", "py", "v") for i in range(100)],
+                "repo string, path string, commit string, lang string, content string",
+            )
+        )
+        changes = spark.createDataFrame(
+            [("r1", "p", "c2", "py", "v2", "update")],
+            "repo string, path string, commit string, lang string, content string, op string",
+        )
+        t.merge(changes, batch_id=9)
+    finally:
+        pq.ParquetFile = orig_cls
+    assert driver_calls == []  # executor processes never touch this list
+    assert t.row_count() == 100
+    # manifest carries byte sizes from the same job — detail() is pure metadata
+    assert all("bytes" in f for f in t.manifest["files"])
+    assert t.detail()["size_in_bytes"] > 0
+
+
 def test_read_bucket_pruning_filters_files(spark, tmp_root):
     t = _mk(spark, tmp_root, num_buckets=8)
     rows = [(f"r{i}", "p", "c", "py", "v") for i in range(64)]

@@ -52,6 +52,99 @@ def test_delete_where(spark, tmp_root):
     assert {r["repo"] for r in t.read().collect()} == {"r2", "r3"}
 
 
+def test_update_where_accepts_column_and_rejects_garbage(spark, tmp_root):
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_root)
+    n = t.update_where("repo = 'r2'", {"lang": F.lit("python")})
+    assert n == 1
+    got = {(r["repo"], r["path"]): r["lang"] for r in t.read().collect()}
+    assert got[("r2", "a")] == "python"
+    with pytest.raises(TypeError):
+        t.update_where("repo = 'r2'", {"lang": 42})
+
+
+def test_update_delete_are_two_scan_ops(spark, tmp_root):
+    # discovery (touched buckets + count, ONE action) + scoped rewrite:
+    # exactly two reads of the table per op, never three.
+    t = _mk(spark, tmp_root)
+    calls = []
+    orig = type(t).read
+
+    def counting_read(self, *a, **kw):
+        calls.append((a, kw))
+        return orig(self, *a, **kw)
+
+    type(t).read = counting_read
+    try:
+        calls.clear()
+        assert t.update_where("lang = 'py'", {"content": "'P'"}) == 3
+        assert len(calls) == 2
+        calls.clear()
+        assert t.delete_where("repo = 'r1'") == 2
+        assert len(calls) == 2
+    finally:
+        type(t).read = orig
+
+
+def test_predicate_bucket_pruning_on_bucket_column(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    # repo is the bucket column: equality predicate prunes the discovery scan
+    pruned = t._buckets_from_predicate("repo = 'r1' AND lang = 'py'")
+    assert pruned is not None and len(pruned) == 1
+    full = t.read(buckets=pruned, with_bucket=True)
+    assert {r["repo"] for r in full.collect()} >= {"r1"}
+    # IN-list prunes to <= 2 buckets; OR disables pruning
+    assert t._buckets_from_predicate("repo IN ('r1', 'r2')") is not None
+    assert t._buckets_from_predicate("repo = 'r1' OR lang = 'py'") is None
+    assert t._buckets_from_predicate("lang = 'py'") is None
+    # pruned discovery gives the same answer as unpruned
+    assert t.delete_where("repo = 'r1' AND path = 'a'") == 1
+    assert {(r["repo"], r["path"]) for r in t.read().collect()} == {
+        ("r1", "b"), ("r2", "a"), ("r3", "x")
+    }
+
+
+def test_expire_snapshots_vacuums_dead_files(spark, tmp_root):
+    import glob as g
+
+    t = _mk(spark, tmp_root)
+    # several merges so COW leaves superseded files behind
+    for i in range(3):
+        ch = spark.createDataFrame(
+            [("r1", "a", f"c{i+5}", "py", f"v{i+5}", "update")],
+            "repo string, path string, commit string, lang string, content string, op string",
+        )
+        t.merge(ch, batch_id=100 + i)
+    before = set(g.glob(os.path.join(t.root, "data", "**", "*.parquet"), recursive=True))
+    live = {os.path.join(t.root, f["path"]) for f in t.manifest["files"]}
+    assert live < before  # dead files exist pre-vacuum
+
+    expected = sorted(tuple(r) for r in t.read().collect())
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["files_removed"] == len(before) - len(live)
+    assert stats["bytes_reclaimed"] > 0
+    after = set(g.glob(os.path.join(t.root, "data", "**", "*.parquet"), recursive=True))
+    assert after == live  # on-disk == live manifest files
+    # reads still correct after vacuum, including from a fresh load
+    assert sorted(tuple(r) for r in t.read().collect()) == expected
+    t2 = LakeTable.load(spark, t.root)
+    assert sorted(tuple(r) for r in t2.read().collect()) == expected
+
+
+def test_expire_snapshots_keeps_time_travel_window(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    ch = spark.createDataFrame(
+        [("r1", "a", "c9", "py", "v9", "update")],
+        "repo string, path string, commit string, lang string, content string, op string",
+    )
+    t.merge(ch, batch_id=200)
+    n_manifests = len(t.history())
+    stats = t.expire_snapshots(keep_last=n_manifests)
+    assert stats["manifests_removed"] == 0 and stats["files_removed"] == 0
+
+
 def test_detail(spark, tmp_root):
     t = _mk(spark, tmp_root)
     d = t.detail()

@@ -69,6 +69,45 @@ def test_simhash_similar_docs_have_close_signatures(docs):
     assert (0, 1) in pairs
 
 
+def test_simhash_bucket_cap_kills_hot_buckets(spark):
+    # 1,000 near-identical short docs would otherwise land in the same band
+    # buckets and produce ~500k pairs in one reducer; the cap drops the hot
+    # buckets so the join completes with zero (or few) candidate pairs.
+    rows = [(i, f"hello world common boilerplate {i % 3}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = simhash_near_dup(df, "text", "doc_id", max_bucket=50)
+    assert capped.count() < 50 * 50 * 4  # bounded by per-bucket quadratic cap
+    # and the cap does not lose genuinely sparse near-dup pairs
+    sparse = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "unrelated content about catalyst optimizer internals")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dup(sparse, "text", "doc_id").collect()}
+    assert (0, 1) in pairs
+
+
+def test_signatures_cover_null_and_empty_docs(spark):
+    # Null/empty docs must still receive signatures (and thus cluster
+    # together) instead of vanishing from the explode.
+    from data_migration_validator_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_signatures,
+    )
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real text here")],
+        "doc_id long, text string",
+    )
+    assert minhash_signatures(df, "text", "doc_id").count() == 4
+    assert simhash_signatures(df, "text", "doc_id").count() == 4
+    sigs = {
+        r["doc_id"]: r["__sh"]
+        for r in simhash_signatures(df, "text", "doc_id").collect()
+    }
+    assert sigs[0] == sigs[1] == sigs[2]  # empty-text dups cluster
+
+
 def test_ngram_jaccard_pairs(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
