@@ -640,6 +640,56 @@ def q_cdc_replay(spark, sf_dir):
         return out
 
 
+def q_validation_summary(spark, sf_dir):
+    """End-to-end persisted summary (DDLs.py:160-225, validation_sqls.py:
+    24-63): run the full pipeline on the src/tgt orders pair through the
+    config-driven runner, persist the summary row into a summary LakeTable,
+    then read it BACK through the report-side conjunction — the value the
+    dashboard would show."""
+    import tempfile
+
+    from data_migration_validator_spark.validation import (
+        TableMapping,
+        make_summary_table,
+        run_mappings,
+        summary_conjunction,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        summary_t = make_summary_table(spark, f"{tmp}/summary")
+        frames = {
+            "orders_src": _src_orders(spark, sf_dir),
+            "orders_tgt": _tgt_orders(spark, sf_dir),
+        }
+        run_mappings(
+            spark,
+            [TableMapping("orders", "orders_src", "orders_tgt", ["o_orderkey"])],
+            resolve=lambda n: frames[n],
+            run_id="r1",
+            summary_table=summary_t,
+        )
+        out = summary_conjunction(summary_t.read()).select(
+            "run_id",
+            "table_family",
+            "final_validation_status",
+            "row_count_status",
+            "hash_match_status",
+            "data_mismatch_status",
+            "extras_status",
+            "primary_key_compliance_status",
+            "column_names_status",
+            "ordinal_status",
+            "datatype_compatibility_status",
+            "matches",
+            "mismatches",
+            "src_extras",
+            "tgt_extras",
+        )
+        out = out.cache()
+        out.count()  # materialize before tmp dir vanishes
+        return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -683,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_compatibility": q_schema_compatibility,
         "multimodal_features": q_multimodal_features,
         "cdc_replay": q_cdc_replay,
+        "validation_summary": q_validation_summary,
     }
 
 
@@ -1059,5 +1110,85 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cosine DESC, neighbor_id) AS rank
                 FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # exact inverted-index n-gram Jaccard — mirrors ngram_jaccard_pairs
+        # (ngram=3, threshold=0.8, max_doc_freq=200): doc sizes BEFORE the
+        # doc-freq cap, pair commons AFTER it, jaccard = c/(na+nb-c).
+        "ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text, ''))), '\s+') AS tk
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN LEN(tk) >= 3 THEN
+                           LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                               i -> CONCAT_WS(' ', tk[i], tk[i+1], tk[i+2])))
+                       ELSE [ARRAY_TO_STRING(tk, ' ')] END AS shingles
+                FROM toks
+            ),
+            ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+            keep AS (
+                SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 200
+            ),
+            fx AS (SELECT * FROM ex WHERE shingle IN (SELECT shingle FROM keep)),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM fx a JOIN fx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        # summary conjunction read-back (validation_sqls.py:24-63): statuses
+        # derived from the same counts the pipeline aggregates; the schema
+        # checks are SUCCESS by construction (identical src/tgt schemas) and
+        # carry their own dedicated oracle rows (ordinal_check,
+        # schema_compatibility).
+        "validation_summary": f"""
+            WITH s AS ({src}), t AS ({tgt}),
+            j AS (
+                SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+                       (s.o_custkey IS NOT DISTINCT FROM t.o_custkey
+                        AND s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus
+                        AND s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice
+                        AND s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority) AS eq
+                FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+            ),
+            c AS (
+                SELECT CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND eq THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+                       CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq THEN 1 ELSE 0 END) AS BIGINT) AS mismatches,
+                       CAST(SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS src_extras,
+                       CAST(SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tgt_extras
+                FROM j
+            ),
+            pk AS (
+                SELECT (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM s) +
+                       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM t) AS violations
+            )
+            SELECT 'r1' AS run_id, 'orders' AS table_family,
+                   CASE WHEN mismatches = 0 AND src_extras = 0 AND tgt_extras = 0
+                             AND violations = 0
+                        THEN 'SUCCESS' ELSE 'FAILED' END AS final_validation_status,
+                   CASE WHEN src_extras = 0 AND tgt_extras = 0
+                        THEN 'SUCCESS' ELSE 'FAILED' END AS row_count_status,
+                   CASE WHEN mismatches = 0 AND src_extras = 0 AND tgt_extras = 0
+                        THEN 'SUCCESS' ELSE 'FAILED' END AS hash_match_status,
+                   CASE WHEN mismatches = 0 THEN 'SUCCESS' ELSE 'FAILED' END AS data_mismatch_status,
+                   CASE WHEN src_extras = 0 AND tgt_extras = 0
+                        THEN 'SUCCESS' ELSE 'FAILED' END AS extras_status,
+                   CASE WHEN violations = 0 THEN 'SUCCESS' ELSE 'FAILED' END AS primary_key_compliance_status,
+                   'SUCCESS' AS column_names_status,
+                   'SUCCESS' AS ordinal_status,
+                   'SUCCESS' AS datatype_compatibility_status,
+                   matches, mismatches, src_extras, tgt_extras
+            FROM c, pk
         """,
     }

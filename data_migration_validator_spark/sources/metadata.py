@@ -1,0 +1,181 @@
+"""Per-dialect metadata capture (S10): remote schema-scan query plans and
+the local decode that turns each dialect's raw catalog rows into the
+engine's common schema-store shape ``(col_name, data_type, col_order,
+side)`` consumed by the ordinal / name-type / compatibility checks
+(``validation.schema_check``).
+
+The remote halves are pushdown subquery strings (planning only — no
+warehouse in the sandbox); the decode halves are Spark expressions over
+whatever frame the scan returns, so they are fully unit-testable locally.
+
+Reference parity:
+- Teradata: ``integrations/teradata/teradata-extract.py:50-114`` — the
+  40-branch ``ColumnType`` code decode + the CharType LATIN/UNICODE
+  column-length halving, re-expressed as one map-literal lookup instead of
+  a 40-WHEN CASE string.
+- MSSQL: ``integrations/mssql/mssql-extract.py:59-80`` —
+  information_schema.columns LEFT JOIN sys.extended_properties
+  (MS_Description comments).
+- Netezza: ``integrations/netezza/netezza-extract.py:50`` —
+  ``_v_relation_column`` catalog view.
+- Snowflake/Oracle/Hive: information-schema / ALL_TAB_COLUMNS / DESCRIBE
+  per their extractors; same normalize step.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Teradata DBC.ColumnsV ColumnType codes → type names
+# (teradata-extract.py:56-99 verbatim semantics).
+TERADATA_TYPE_CODES: dict[str, str] = {
+    "++": "TD_ANYTYPE",
+    "A1": "ARRAY",
+    "AN": "ARRAY",
+    "AT": "TIME",
+    "BF": "BYTE",
+    "BO": "BLOB",
+    "BV": "VARBYTE",
+    "CF": "CHAR",
+    "CO": "CLOB",
+    "CV": "VARCHAR",
+    "D": "DECIMAL",
+    "DA": "DATE",
+    "DH": "INTERVAL DAY TO HOUR",
+    "DM": "INTERVAL DAY TO MINUTE",
+    "DS": "INTERVAL DAY TO SECOND",
+    "DT": "DATASET",
+    "DY": "INTERVAL DAY",
+    "F": "FLOAT",
+    "HM": "INTERVAL HOUR TO MINUTE",
+    "HR": "INTERVAL HOUR",
+    "HS": "INTERVAL HOUR TO SECOND",
+    "I1": "BYTEINT",
+    "I2": "SMALLINT",
+    "I8": "BIGINT",
+    "I": "INTEGER",
+    "JN": "JSON",
+    "MI": "INTERVAL MINUTE",
+    "MO": "INTERVAL MONTH",
+    "MS": "INTERVAL MINUTE TO SECOND",
+    "N": "NUMBER",
+    "PD": "PERIOD(DATE)",
+    "PM": "PERIOD(TIMESTAMP WITH TIME ZONE)",
+    "PS": "PERIOD(TIMESTAMP)",
+    "PT": "PERIOD(TIME)",
+    "PZ": "PERIOD(TIME WITH TIME ZONE)",
+    "SC": "INTERVAL SECOND",
+    "SZ": "TIMESTAMP WITH TIME ZONE",
+    "TS": "TIMESTAMP",
+    "TZ": "TIME WITH TIME ZONE",
+    "UT": "UDT",
+    "XM": "XML",
+    "YM": "INTERVAL YEAR TO MONTH",
+    "YR": "INTERVAL YEAR",
+}
+
+
+def decode_teradata_types(
+    df: DataFrame,
+    type_col: str = "ColumnType",
+    chartype_col: str = "CharType",
+    length_col: str = "ColumnLength",
+) -> DataFrame:
+    """Decode raw DBC.ColumnsV rows: adds ``data_type`` (code → name via one
+    map-literal lookup, null for unknown codes) and ``column_length``
+    (UNICODE columns report byte length; halve it — the reference's
+    CharType fix, teradata-extract.py:102-107)."""
+    code_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(v)) for k, v in TERADATA_TYPE_CODES.items()
+        )
+    )
+    length = F.when(
+        F.col(chartype_col) == 2, (F.col(length_col) / 2).cast("int")
+    ).otherwise(F.col(length_col).cast("int"))
+    return df.withColumns(
+        {
+            "data_type": F.element_at(code_map, F.trim(F.col(type_col))),
+            "column_length": length,
+        }
+    )
+
+
+def teradata_schema_query(db_name: str, table_name: str) -> str:
+    """Remote pushdown subquery over DBC.ColumnsV (teradata-extract.py:
+    49-114) — ordinal via ROW_NUMBER over ColumnId; the type decode happens
+    Spark-side in :func:`decode_teradata_types`."""
+    return (
+        "(SELECT DatabaseName, TableName, ColumnName, ColumnId, "
+        "ROW_NUMBER() OVER (ORDER BY ColumnId) AS ColumnOrder, "
+        "ColumnType, CharType, ColumnLength, DecimalTotalDigits, "
+        "DecimalFractionalDigits, Nullable, CommentString "
+        f"FROM DBC.ColumnsV WHERE DatabaseName = '{db_name}' "
+        f"AND TableName = '{table_name}') a"
+    )
+
+
+def mssql_schema_query(db_name: str, table_name: str) -> str:
+    """information_schema.columns + MS_Description extended properties
+    (mssql-extract.py:59-80)."""
+    return (
+        "SELECT a.*, b.ColumnComment AS COLUMN_COMMENT "
+        "FROM information_schema.columns a "
+        "LEFT JOIN (SELECT o.name AS Table_Name, c.name AS ColumnName, "
+        "CONVERT(VARCHAR(MAX), ep.value) AS ColumnComment "
+        "FROM sys.columns c "
+        "LEFT JOIN sys.objects o ON c.object_id = o.object_id "
+        "LEFT JOIN sys.extended_properties ep "
+        "ON ep.major_id = c.object_id AND ep.minor_id = c.column_id "
+        "WHERE LOWER(ep.name) = 'ms_description') b "
+        "ON a.TABLE_NAME = b.Table_Name AND a.COLUMN_NAME = b.ColumnName "
+        f"WHERE a.table_schema = '{db_name}' AND a.table_name = '{table_name}'"
+    )
+
+
+def netezza_schema_query(table_name: str) -> str:
+    """``_v_relation_column`` catalog scan (netezza-extract.py:50)."""
+    return f"(SELECT * FROM _v_relation_column WHERE name = '{table_name}') a"
+
+
+def snowflake_schema_query(database: str, schema: str, table_name: str) -> str:
+    """information_schema.columns scan (snowflake-extract.py:53-75 shape)."""
+    return (
+        "SELECT column_name, data_type, ordinal_position, is_nullable, comment "
+        f"FROM {database}.information_schema.columns "
+        f"WHERE table_schema = '{schema.upper()}' "
+        f"AND table_name = '{table_name.upper()}' ORDER BY ordinal_position"
+    )
+
+
+# column-name mapping from each dialect's catalog rows to the common store
+_DIALECT_COLS: dict[str, tuple[str, str, str]] = {
+    # dialect: (name col, decoded type col, ordinal col)
+    "teradata": ("ColumnName", "data_type", "ColumnOrder"),
+    "mssql": ("COLUMN_NAME", "DATA_TYPE", "ORDINAL_POSITION"),
+    "snowflake": ("COLUMN_NAME", "DATA_TYPE", "ORDINAL_POSITION"),
+    "netezza": ("attname", "format_type", "attnum"),
+    "oracle": ("COLUMN_NAME", "DATA_TYPE", "COLUMN_ID"),
+    "hive": ("col_name", "data_type", "col_order"),
+    "spark": ("col_name", "data_type", "col_order"),
+}
+
+
+def normalize_metadata(df: DataFrame, dialect: str, side: str) -> DataFrame:
+    """Project a dialect's raw catalog rows to the engine's schema-store
+    shape ``(col_name, data_type, col_order, side)`` so any warehouse's
+    metadata feeds the same ordinal/name/type/compatibility joins.
+    Teradata frames must pass through :func:`decode_teradata_types` first
+    (it supplies the decoded ``data_type``)."""
+    if dialect not in _DIALECT_COLS:
+        raise ValueError(f"unknown dialect {dialect!r}")
+    name_c, type_c, ord_c = _DIALECT_COLS[dialect]
+    return df.select(
+        F.lower(F.col(name_c)).alias("col_name"),
+        F.lower(F.col(type_c)).alias("data_type"),
+        F.col(ord_c).cast("int").alias("col_order"),
+        F.lit(side).alias("side"),
+    )

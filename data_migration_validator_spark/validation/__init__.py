@@ -18,3 +18,19 @@ from .schema_check import (  # noqa: F401
 from .summary import validation_summary  # noqa: F401
 from .pipeline import run_validation  # noqa: F401
 from .quick import anomalous_keys, fetch_anomalous_rows, quick_validate  # noqa: F401
+from .mapping import TableMapping, load_mappings_csv, run_mappings  # noqa: F401
+from .store import (  # noqa: F401
+    make_column_metrics_table,
+    make_log_table,
+    make_summary_table,
+    persist_column_metrics,
+    persist_log,
+    persist_summary,
+)
+from .report import (  # noqa: F401
+    anomaly_browser,
+    failed_stages,
+    latest_run_per_family,
+    summary_conjunction,
+    top_mismatched_columns,
+)

@@ -1,0 +1,178 @@
+"""Config-driven multi-table validation: the reference's validation-mapping
+model and fan-out.
+
+The reference stores one row per (src, tgt) pair in ``validation_mapping``
+(``conf/setup_validation_mapping.py:8-67``: table_family, src/tgt table,
+'|'-separated ``tgt_primary_keys``, filter, date_bucket, quick_validation,
+validation_is_active), resolves connections per pair
+(``migration-data-validation.py:588-611``) and fans out over the active
+pairs with a 30-thread driver pool (``migration-data-validation.py:
+2173-2181``).
+
+Here the mapping is a plain dataclass loaded from the same CSV shape
+(S15 csv source), and the fan-out is a sequential driver loop — each
+pair's pipeline is itself fully Spark-parallel, so driver threads add
+contention, not throughput, on a shared cluster.  Outcomes persist through
+``validation.store`` (summary + per-stage log + per-column metrics), so a
+failed pair records FAILED + the exception text and the loop continues —
+the reference's run-status machine (migration-data-validation.py:1756-1769).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..lake.table import LakeTable
+from ..sources.files import csv_config_source
+from .pipeline import run_validation
+from .store import persist_column_metrics, persist_log, persist_summary
+
+MAPPING_CSV_SCHEMA = (
+    "table_family string, src_table string, tgt_table string, "
+    "key_cols string, compare_cols string, filter string, date_col string, "
+    "quick_validation boolean, is_active boolean"
+)
+
+
+@dataclass
+class TableMapping:
+    """One configured validation pair (validation_mapping row analog)."""
+
+    table_family: str
+    src_table: str
+    tgt_table: str
+    key_cols: list[str]
+    compare_cols: list[str] | None = None
+    filter: str | None = None
+    date_col: str | None = None
+    quick: bool = False
+    is_active: bool = True
+
+
+def load_mappings_csv(spark: SparkSession, path: str) -> list[TableMapping]:
+    """Mapping config from CSV (key lists '|'-separated, as the reference's
+    ``tgt_primary_keys``, setup_validation_mapping.py:22-27).  Config is
+    tiny by definition — the collect is the config read, not a data scan."""
+    rows = csv_config_source(spark, path, schema=MAPPING_CSV_SCHEMA).collect()
+    out = []
+    for r in rows:
+        out.append(
+            TableMapping(
+                table_family=r["table_family"],
+                src_table=r["src_table"],
+                tgt_table=r["tgt_table"],
+                key_cols=[k for k in (r["key_cols"] or "").split("|") if k],
+                compare_cols=(
+                    [c for c in r["compare_cols"].split("|") if c]
+                    if r["compare_cols"]
+                    else None
+                ),
+                filter=r["filter"] or None,
+                date_col=r["date_col"] or None,
+                quick=bool(r["quick_validation"]),
+                is_active=r["is_active"] is not False,
+            )
+        )
+    return out
+
+
+def run_mappings(
+    spark: SparkSession,
+    mappings: list[TableMapping],
+    resolve: Callable[[str], DataFrame],
+    run_id: str,
+    summary_table: LakeTable | None = None,
+    log_table: LakeTable | None = None,
+    column_metrics_table: LakeTable | None = None,
+) -> dict[str, dict]:
+    """Validate every active configured pair; returns {table_family: reports}.
+
+    ``resolve(table_name)`` supplies the DataFrame for a configured table
+    name (file path, catalog table, JDBC plan — source-agnostic).  Each
+    pair: optional filter on both sides (declarative ``where``, per SURVEY
+    §7.4 — never string-spliced into the source), full pipeline, then one
+    summary upsert + one log batch + one metrics MERGE.
+    """
+    results: dict[str, dict] = {}
+    for m in mappings:
+        if not m.is_active:
+            continue
+        t0 = time.time()
+        log_rows: list[dict] = []
+
+        def _log(stage: str, status: str, message: str = "") -> None:
+            log_rows.append(
+                {
+                    "run_id": run_id,
+                    "table_family": m.table_family,
+                    "stage": stage,
+                    "status": status,
+                    "message": message,
+                    "event_time": time.time(),
+                }
+            )
+
+        try:
+            src = resolve(m.src_table)
+            tgt = resolve(m.tgt_table)
+            if m.filter:
+                src = src.where(m.filter)
+                tgt = tgt.where(m.filter)
+            _log("resolve", "SUCCESS", f"{m.src_table} vs {m.tgt_table}")
+
+            reports = run_validation(
+                src,
+                tgt,
+                key_cols=m.key_cols,
+                compare_cols=m.compare_cols,
+                date_col=m.date_col,
+                quick=m.quick,
+            )
+            summary = reports["summary"]
+            _log("validate", summary["validation_status"])
+            results[m.table_family] = reports
+
+            if summary_table is not None:
+                persist_summary(
+                    summary_table,
+                    run_id,
+                    m.table_family,
+                    summary,
+                    src_table=m.src_table,
+                    tgt_table=m.tgt_table,
+                    quick=m.quick,
+                    started_at=t0,
+                    finished_at=time.time(),
+                )
+                _log("persist_summary", "SUCCESS")
+            if column_metrics_table is not None:
+                persist_column_metrics(
+                    column_metrics_table,
+                    run_id,
+                    m.table_family,
+                    reports["column_metrics"],
+                )
+                _log("persist_metrics", "SUCCESS")
+        except Exception as exc:  # record FAILED + exception, keep going
+            _log("validate", "FAILED", f"{exc}\n{traceback.format_exc(limit=3)}")
+            if summary_table is not None:
+                persist_summary(
+                    summary_table,
+                    run_id,
+                    m.table_family,
+                    {"validation_status": "FAILED"},
+                    src_table=m.src_table,
+                    tgt_table=m.tgt_table,
+                    quick=m.quick,
+                    started_at=t0,
+                    finished_at=time.time(),
+                )
+        finally:
+            if log_table is not None:
+                persist_log(log_table, log_rows)
+    return results

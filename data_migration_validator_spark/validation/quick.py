@@ -38,13 +38,25 @@ def anomalous_keys(
 
 
 def fetch_anomalous_rows(
-    side: DataFrame, keys: DataFrame, key_cols: list[str]
+    side: DataFrame,
+    keys: DataFrame,
+    key_cols: list[str],
+    broadcast: bool = False,
 ) -> DataFrame:
-    """Detail re-fetch: broadcast semi-join instead of the reference's
-    ≤2000-key IN-list rewrite (migration-data-validation.py:929-947)."""
-    return side.join(
-        F.broadcast(keys.select(*key_cols).distinct()), on=list(key_cols), how="left_semi"
-    )
+    """Detail re-fetch: semi-join instead of the reference's ≤2000-key
+    IN-list rewrite (migration-data-validation.py:929-947).
+
+    ``broadcast=True`` is for callers that KNOW the key set is small
+    (e.g. they just applied a limit).  Default leaves the join strategy
+    to AQE — when src/tgt diverge heavily the anomalous key set
+    approaches full table size, and an unconditional forced broadcast
+    there OOMs the driver; AQE still picks broadcast at runtime whenever
+    the built side turns out small.
+    """
+    key_set = keys.select(*key_cols).distinct()
+    if broadcast:
+        key_set = F.broadcast(key_set)
+    return side.join(key_set, on=list(key_cols), how="left_semi")
 
 
 def quick_validate(
@@ -52,15 +64,19 @@ def quick_validate(
     tgt: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    limit: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full quick-validation strategy: digest compare → anomaly keys →
     detail rows from both sides only for anomalous keys.
 
     Returns {"keys": (key, status) rows, "src_rows": ..., "tgt_rows": ...}.
+    With an explicit ``limit`` the key set is known-small, so the detail
+    semi-joins broadcast it; uncapped runs let AQE decide.
     """
-    keys = anomalous_keys(src, tgt, key_cols, compare_cols)
+    keys = anomalous_keys(src, tgt, key_cols, compare_cols, limit=limit)
+    bc = limit is not None
     return {
         "keys": keys,
-        "src_rows": fetch_anomalous_rows(src, keys, key_cols),
-        "tgt_rows": fetch_anomalous_rows(tgt, keys, key_cols),
+        "src_rows": fetch_anomalous_rows(src, keys, key_cols, broadcast=bc),
+        "tgt_rows": fetch_anomalous_rows(tgt, keys, key_cols, broadcast=bc),
     }

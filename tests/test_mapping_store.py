@@ -1,0 +1,137 @@
+"""Config-driven multi-pair validation + persisted summary/log/metrics
+tables + report read-path queries."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_validator_spark.validation import (
+    TableMapping,
+    failed_stages,
+    latest_run_per_family,
+    load_mappings_csv,
+    make_column_metrics_table,
+    make_log_table,
+    make_summary_table,
+    run_mappings,
+    summary_conjunction,
+    top_mismatched_columns,
+)
+
+
+@pytest.fixture()
+def stores(spark, tmp_root):
+    return (
+        make_summary_table(spark, os.path.join(tmp_root, "summary")),
+        make_log_table(spark, os.path.join(tmp_root, "log")),
+        make_column_metrics_table(spark, os.path.join(tmp_root, "colmetrics")),
+    )
+
+
+def _tables(spark):
+    """Three configured pairs: clean, corrupted, and one that errors."""
+    base = spark.createDataFrame(
+        [(i, f"n{i}", i * 10.0) for i in range(100)], "id long, name string, amt double"
+    )
+    corrupt = base.withColumn(
+        "amt", F.when(F.col("id") % 7 == 0, F.col("amt") + 1).otherwise(F.col("amt"))
+    )
+    return {
+        "src_a": base,
+        "tgt_a": base,
+        "src_b": base,
+        "tgt_b": corrupt,
+        "src_c": base,
+        # tgt_c intentionally unresolvable
+    }
+
+
+def test_run_mappings_three_pairs_persists_per_pair_rows(spark, tmp_root, stores):
+    summary_t, log_t, metrics_t = stores
+    tables = _tables(spark)
+    mappings = [
+        TableMapping("fam_a", "src_a", "tgt_a", ["id"]),
+        TableMapping("fam_b", "src_b", "tgt_b", ["id"]),
+        TableMapping("fam_c", "src_c", "tgt_c", ["id"]),  # resolve error
+        TableMapping("fam_off", "src_a", "tgt_a", ["id"], is_active=False),
+    ]
+    results = run_mappings(
+        spark,
+        mappings,
+        resolve=lambda n: tables[n],
+        run_id="run1",
+        summary_table=summary_t,
+        log_table=log_t,
+        column_metrics_table=metrics_t,
+    )
+    assert set(results) == {"fam_a", "fam_b"}  # fam_c failed, fam_off inactive
+
+    rows = {r["table_family"]: r for r in summary_t.read().collect()}
+    assert set(rows) == {"fam_a", "fam_b", "fam_c"}
+    assert rows["fam_a"]["validation_status"] == "SUCCESS"
+    assert rows["fam_b"]["validation_status"] == "FAILED"
+    assert rows["fam_b"]["mismatches"] > 0
+    assert rows["fam_c"]["validation_status"] == "FAILED"
+
+    # per-stage log rows; the failed pair recorded the exception text
+    failed = failed_stages(log_t.read()).collect()
+    assert any(r["table_family"] == "fam_c" and "tgt_c" in r["message"] for r in failed)
+
+    # per-column metrics persisted Spark-side; read-path top-k finds amt
+    top = top_mismatched_columns(metrics_t.read(), k=5, run_id="run1").collect()
+    assert top and top[0]["column_name"] == "amt" and top[0]["table_family"] == "fam_b"
+
+
+def test_rerun_upserts_not_duplicates(spark, tmp_root, stores):
+    summary_t, log_t, _ = stores
+    tables = _tables(spark)
+    mappings = [TableMapping("fam_a", "src_a", "tgt_a", ["id"])]
+    for _ in range(2):  # same run_id twice → MERGE overwrites, no dup rows
+        run_mappings(
+            spark, mappings, resolve=lambda n: tables[n], run_id="r7",
+            summary_table=summary_t, log_table=log_t,
+        )
+    assert summary_t.read().count() == 1
+    assert log_t.read().filter("stage = 'validate'").count() == 1
+
+
+def test_summary_conjunction_null_is_failed(spark, tmp_root, stores):
+    summary_t, _, _ = stores
+    from data_migration_validator_spark.validation.store import persist_summary
+
+    persist_summary(
+        summary_t, "r1", "famx",
+        {"validation_status": "SUCCESS", "row_count_status": "SUCCESS"},
+    )
+    out = summary_conjunction(summary_t.read()).collect()[0]
+    # most statuses NULL → conjunction FAILED even though the run wrote SUCCESS
+    assert out["final_validation_status"] == "FAILED"
+
+
+def test_latest_run_per_family(spark, tmp_root, stores):
+    summary_t, _, _ = stores
+    from data_migration_validator_spark.validation.store import persist_summary
+
+    persist_summary(summary_t, "r1", "fam", {"validation_status": "FAILED"},
+                    finished_at=100.0)
+    persist_summary(summary_t, "r2", "fam", {"validation_status": "SUCCESS"},
+                    finished_at=200.0)
+    latest = latest_run_per_family(summary_t.read()).collect()
+    assert len(latest) == 1 and latest[0]["run_id"] == "r2"
+
+
+def test_load_mappings_csv_roundtrip(spark, tmp_root):
+    p = os.path.join(tmp_root, "mappings.csv")
+    with open(p, "w") as f:
+        f.write(
+            "table_family,src_table,tgt_table,key_cols,compare_cols,filter,"
+            "date_col,quick_validation,is_active\n"
+            "fam1,s1,t1,id|region,,amt > 0,,false,true\n"
+            'fam2,s2,t2,id,"a|b",,ts,true,false\n'
+        )
+    ms = load_mappings_csv(spark, p)
+    assert len(ms) == 2
+    assert ms[0].key_cols == ["id", "region"] and ms[0].filter == "amt > 0"
+    assert ms[0].compare_cols is None and ms[0].is_active
+    assert ms[1].compare_cols == ["a", "b"] and ms[1].quick and not ms[1].is_active

@@ -69,6 +69,43 @@ def test_simhash_similar_docs_have_close_signatures(docs):
     assert (0, 1) in pairs
 
 
+def test_minhash_recall_vs_exact_jaccard(spark):
+    # quantified recall on a seeded corpus: ground truth = exact inverted-
+    # index Jaccard; MinHash LSH (32 hashes, 8 bands) must recover >= 90%
+    # of true pairs at threshold 0.8, and every emitted pair's jaccard is
+    # exact-verified so precision is 1.0 by construction.
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for g in range(40):  # 40 groups of near-identical docs
+        base = [rng.choice(vocab) for _ in range(60)]
+        for v in range(3):
+            doc = list(base)
+            for _ in range(v):  # variant v mutates v tokens (~95%+ jaccard)
+                doc[rng.randrange(len(doc))] = rng.choice(vocab)
+            rows.append((g * 10 + v, " ".join(doc)))
+    for i in range(200):  # unrelated noise docs
+        rows.append((1000 + i, " ".join(rng.choice(vocab) for _ in range(60))))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", ngram=3, threshold=0.8, max_doc_freq=10_000
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert truth, "seeded corpus must contain true near-dup pairs"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
+    assert got <= truth  # exact-Jaccard verification keeps precision at 1.0
+
+
 def test_simhash_bucket_cap_kills_hot_buckets(spark):
     # 1,000 near-identical short docs would otherwise land in the same band
     # buckets and produce ~500k pairs in one reducer; the cap drops the hot
