@@ -49,14 +49,12 @@ from .schema import TableSchema
 _MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
 
 
-def _footer_stats(path: str) -> tuple[str, int, int]:
-    """(path, rows, bytes) from one parquet footer — runs on EXECUTORS
-    (see ``LakeTable._file_stats``); never called on the driver."""
-    import os as _os
-
-    import pyarrow.parquet as pq
-
-    return path, pq.ParquetFile(path).metadata.num_rows, _os.path.getsize(path)
+def _manifest_rows(m: dict) -> int:
+    """Live row count of one manifest: per-bucket observed counts, with a
+    per-file fallback for manifests written before bucket_rows existed."""
+    if "bucket_rows" in m:
+        return sum(m["bucket_rows"].values())
+    return sum(f.get("rows", 0) for f in m["files"])
 
 
 class LakeTable:
@@ -99,6 +97,7 @@ class LakeTable:
             "partition": {"num_buckets": num_buckets, "source": bucket_col},
             "key_cols": list(key_cols),
             "files": [],
+            "bucket_rows": {},
             "properties": properties or {},
             "committed_at": time.time(),
         }
@@ -253,64 +252,92 @@ class LakeTable:
                 proj.append(F.lit(None).cast(fld.type).alias(fld.name))
         return df.select(*proj)
 
-    def _write_files(self, df: DataFrame) -> list[dict]:
-        """Write ``df`` (current schema) as bucketed parquet; return file entries.
+    def _write_files(self, df: DataFrame) -> tuple[list[dict], dict[int, int]]:
+        """Write ``df`` (current schema) as bucketed parquet; return
+        (file entries, per-bucket row counts).
 
         One shuffle on ``__bucket`` so each task writes whole buckets —
         avoids the tasks×buckets small-file explosion.  AQE coalesces when
         the rewrite is small; at scale, raise shuffle partitions so hot
         buckets split across multiple files (maxRecordsPerFile).
+
+        Row counts ride the write action itself via ``observe`` (one
+        conditional-count aggregate per bucket) — no post-write footer
+        reads, no extra job, no driver O(#files) stall per commit.  File
+        byte sizes come from driver inode stats (cheap metadata; a real
+        object store surfaces them from the write committer).
         """
+        from pyspark.sql import Observation
+
         snap_dir = f"data/snap-{self.manifest['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, snap_dir)
+        obs = Observation(f"rows-{snap_dir}")
+        bucket_aggs = [
+            F.sum(F.when(F.col("__bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+            for b in range(self.num_buckets)
+        ]
         (
             df.withColumn("__bucket", self.bucket_expr())
+            .observe(obs, *bucket_aggs)
             .repartition(F.col("__bucket"))
             .write.option("maxRecordsPerFile", 5_000_000)
             .partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out)
         )
-        paths = glob.glob(os.path.join(out, "__bucket=*", "*.parquet"))
-        stats = self._file_stats(paths)
+        try:
+            observed = dict(obs.get)
+        except Exception:  # zero-task write (empty frame): no metrics row
+            observed = {}
+        bucket_rows = {
+            b: int(observed[f"b{b}"])
+            for b in range(self.num_buckets)
+            if observed.get(f"b{b}")
+        }
         entries = []
-        for p in paths:
+        for p in glob.glob(os.path.join(out, "__bucket=*", "*.parquet")):
             bucket = int(p.split("__bucket=")[1].split(os.sep)[0])
             rel = os.path.relpath(p, self.root)
-            rows, nbytes = stats[p]
             entries.append(
                 {
                     "path": rel,
                     "bucket": bucket,
-                    "rows": rows,
-                    "bytes": nbytes,
+                    "bytes": os.path.getsize(p),
                     "schema_id": self.manifest["schema_id"],
                 }
             )
-        return entries
+        return entries, bucket_rows
 
-    def _file_stats(self, paths: list[str]) -> dict[str, tuple[int, int]]:
-        """Per-file (rows, bytes) from parquet footers, gathered on the
-        EXECUTORS in one tiny Spark job — the driver never opens a footer.
-        At 100× scale this is the difference between a driver O(#files)
-        stall per commit and a constant-time commit."""
-        if not paths:
-            return {}
-        sc = self.spark.sparkContext
-        n_slices = max(1, min(len(paths), 64))
-        out = sc.parallelize(paths, n_slices).map(_footer_stats).collect()
-        return {p: (rows, nbytes) for p, rows, nbytes in out}
+    def _updated_bucket_rows(
+        self, touched: set[int], new_rows: dict[int, int], add: bool = False
+    ) -> dict[str, int]:
+        """Next manifest's bucket_rows: touched buckets take (or add) the
+        new counts, others carry over."""
+        out = {
+            b: n
+            for b, n in self.manifest.get("bucket_rows", {}).items()
+            if int(b) not in touched or add
+        }
+        for b, n in new_rows.items():
+            out[str(b)] = out.get(str(b), 0) + n if add else n
+        return out
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-table replace (CTAS / initial load)."""
-        entries = self._write_files(self._conform(df))
-        self._write_manifest(self._next_manifest(files=entries))
+        entries, bucket_rows = self._write_files(self._conform(df))
+        self._write_manifest(
+            self._next_manifest(
+                files=entries,
+                bucket_rows={str(b): n for b, n in bucket_rows.items()},
+            )
+        )
 
     def append(self, df: DataFrame) -> None:
         """Blind append (reference S11: ``write.mode('append').saveAsTable``)."""
-        entries = self._write_files(self._conform(df))
+        entries, bucket_rows = self._write_files(self._conform(df))
         m = self._next_manifest()
         m["files"] = m["files"] + entries
+        m["bucket_rows"] = self._updated_bucket_rows(set(), bucket_rows, add=True)
         self._write_manifest(m)
 
     # ------------------------------------------------------------------ #
@@ -404,13 +431,16 @@ class LakeTable:
 
             upserts = self._conform(changes.filter(F.col(op_col) != delete_value))
             new_data = survivors.unionByName(upserts)
-            entries = self._write_files(new_data)
+            entries, bucket_rows = self._write_files(new_data)
         finally:
             changes.unpersist()
 
         touched_set = set(touched)
         kept = [f for f in self.manifest["files"] if f["bucket"] not in touched_set]
-        m = self._next_manifest(files=kept + entries)
+        m = self._next_manifest(
+            files=kept + entries,
+            bucket_rows=self._updated_bucket_rows(touched_set, bucket_rows),
+        )
         if batch_id is not None:
             m["properties"]["last_batch_id"] = str(batch_id)
         self._write_manifest(m)
@@ -517,9 +547,14 @@ class LakeTable:
                 for c, v in assignments.items()
             }
         )
-        entries = self._write_files(self._conform(updated))
+        entries, bucket_rows = self._write_files(self._conform(updated))
         kept = [f for f in self.manifest["files"] if f["bucket"] not in set(touched)]
-        self._write_manifest(self._next_manifest(files=kept + entries))
+        self._write_manifest(
+            self._next_manifest(
+                files=kept + entries,
+                bucket_rows=self._updated_bucket_rows(set(touched), bucket_rows),
+            )
+        )
         return n
 
     def delete_where(self, predicate: str) -> int:
@@ -530,9 +565,14 @@ class LakeTable:
             return 0
         scoped = self.read(buckets=touched)
         survivors = scoped.filter(~F.expr(predicate))
-        entries = self._write_files(self._conform(survivors))
+        entries, bucket_rows = self._write_files(self._conform(survivors))
         kept = [f for f in self.manifest["files"] if f["bucket"] not in set(touched)]
-        self._write_manifest(self._next_manifest(files=kept + entries))
+        self._write_manifest(
+            self._next_manifest(
+                files=kept + entries,
+                bucket_rows=self._updated_bucket_rows(set(touched), bucket_rows),
+            )
+        )
         return n
 
     # ------------------------------------------------------------------ #
@@ -601,7 +641,7 @@ class LakeTable:
                     size += os.path.getsize(p)
         return {
             "num_files": len(files),
-            "num_rows": sum(f["rows"] for f in files),
+            "num_rows": self.row_count(),
             "size_in_bytes": size,
             "num_buckets": self.num_buckets,
             "schema_id": self.manifest["schema_id"],
@@ -619,12 +659,12 @@ class LakeTable:
                     "seq": m["seq"],
                     "schema_id": m["schema_id"],
                     "n_files": len(m["files"]),
-                    "rows": sum(f["rows"] for f in m["files"]),
+                    "rows": _manifest_rows(m),
                     "committed_at": m["committed_at"],
                 }
             )
         return out
 
     def row_count(self) -> int:
-        """Metadata-only count (sum of file footer counts)."""
-        return sum(f["rows"] for f in self.manifest["files"])
+        """Metadata-only count (per-bucket counts observed during writes)."""
+        return _manifest_rows(self.manifest)

@@ -10,7 +10,9 @@ from .dedup import (  # noqa: F401
 )
 from .projection import (  # noqa: F401
     cast_all_to_string,
+    column_union,
     exclude_metadata_columns,
+    first_seen_union,
     mapped_projection,
     null_safe_string_projection,
     suffix_projection,

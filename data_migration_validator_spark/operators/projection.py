@@ -63,6 +63,43 @@ def null_safe_string_projection(
     )
 
 
+def column_union(src_cols: list[str], tgt_cols: list[str]) -> list[str]:
+    """W3: merge two ordered column lists, first-seen wins, order preserved.
+
+    The reference computes this with SHOW COLUMNS → monotonically_increasing
+    id → union → row_number window → collect (create_normailzed_views,
+    migration-data-validation.py:1554-1568) — a 4-stage Spark job for a
+    driver-sized list.  Schema lists are metadata: plain Python is the right
+    altitude, and the Spark-window form for data-scale inputs is
+    :func:`first_seen_union`."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for c in list(src_cols) + list(tgt_cols):
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
+def first_seen_union(
+    a: DataFrame, b: DataFrame, dedup_col: str, order_cols: list[str]
+) -> DataFrame:
+    """W3 at data scale: union two frames, keep the first-seen row per
+    ``dedup_col`` — rows from ``a`` outrank rows from ``b``, then by
+    ``order_cols``.  One window, one shuffle."""
+    from pyspark.sql import Window
+
+    u = a.withColumn("__side", F.lit(0)).unionByName(
+        b.withColumn("__side", F.lit(1))
+    )
+    w = Window.partitionBy(dedup_col).orderBy("__side", *order_cols)
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__side")
+    )
+
+
 def exclude_metadata_columns(
     df: DataFrame, suffixes: tuple[str, ...] = ("__mmp",)
 ) -> DataFrame:

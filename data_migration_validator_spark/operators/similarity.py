@@ -75,13 +75,18 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int):
+def _hyperplane_sig(vec_col, n_planes: int, seed: int):
     """Sign-bit signature under deterministic pseudo-random hyperplanes.
 
     Plane p, dim d weight = centered xxhash of (p, d, seed) — seeded and
-    identical across executors without shipping a matrix.
+    identical across executors without shipping a matrix.  The dimension
+    index comes from the 2-arg ``transform`` lambda (value, index), so no
+    driver action ever inspects a vector to learn its length.
     """
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
     def _weight_fn(p):
+        # genuine 2-arg lambda → Spark passes (element, index)
         return lambda x, d: (
             x.cast("double")
             * (
@@ -93,11 +98,7 @@ def _hyperplane_sig(vec_col, dim: int, n_planes: int, seed: int):
     sig_bits = []
     for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                _weight_fn(p),
-            ),
+            F.transform(vec, _weight_fn(p)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -114,7 +115,6 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    dim: int | None = None,
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
@@ -122,8 +122,6 @@ def lsh_bucketed_topk(
     """Approximate cosine top-k: candidates = corpus vectors sharing an LSH
     bucket with the query in ANY of ``n_tables`` hyperplane tables; exact
     cosine ranking within candidates.  Output shape = brute_force_topk."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
 
     def with_sigs(df, idc, vc, alias_prefix):
         out = df.select(F.col(idc).alias(f"{alias_prefix}_id"), F.col(vc).alias(f"__{alias_prefix}v"))
@@ -131,7 +129,7 @@ def lsh_bucketed_topk(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    _hyperplane_sig(f"__{alias_prefix}v", dim, n_planes, seed + 101 * t).alias("sig"),
+                    _hyperplane_sig(f"__{alias_prefix}v", n_planes, seed + 101 * t).alias("sig"),
                 )
                 for t in range(n_tables)
             ]
@@ -164,21 +162,18 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dim: int | None = None,
     n_planes: int = 10,
     n_tables: int = 4,
     seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t) via
     LSH-bucketed self-join — the embedding leg of the dedup suite."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     tables = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                _hyperplane_sig("__v", dim, n_planes, seed + 101 * t).alias("sig"),
+                _hyperplane_sig("__v", n_planes, seed + 101 * t).alias("sig"),
             )
             for t in range(n_tables)
         ]

@@ -18,7 +18,12 @@ from .schema_check import (  # noqa: F401
 from .summary import validation_summary  # noqa: F401
 from .pipeline import run_validation  # noqa: F401
 from .quick import anomalous_keys, fetch_anomalous_rows, quick_validate  # noqa: F401
-from .mapping import TableMapping, load_mappings_csv, run_mappings  # noqa: F401
+from .mapping import (  # noqa: F401
+    TableMapping,
+    load_mappings_csv,
+    resolve_connections,
+    run_mappings,
+)
 from .store import (  # noqa: F401
     make_column_metrics_table,
     make_log_table,

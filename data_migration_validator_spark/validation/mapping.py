@@ -26,6 +26,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
 from ..sources.files import csv_config_source
@@ -79,6 +80,36 @@ def load_mappings_csv(spark: SparkSession, path: str) -> list[TableMapping]:
             )
         )
     return out
+
+
+def resolve_connections(
+    mapping_df: DataFrame, config_df: DataFrame
+) -> DataFrame:
+    """J5: resolve each mapping row's src/tgt connection details from the
+    table-config table — the reference's double LEFT OUTER join
+    (readValidationTableList, migration-data-validation.py:588-611) with
+    the config side explicitly broadcast (it is a handful of connection
+    rows joined against every configured pair).
+
+    ``mapping_df`` needs ``src_connection_name``/``tgt_connection_name``;
+    ``config_df`` is the ``table_config`` shape (DDLs.py:46-52):
+    (connection_name, warehouse, jdbc_options, cast_to_string).
+    """
+    cfg = F.broadcast(config_df)
+    src_cfg = cfg.select(
+        F.col("connection_name").alias("src_connection_name"),
+        F.col("warehouse").alias("src_warehouse"),
+        F.col("jdbc_options").alias("src_jdbc_options"),
+        F.col("cast_to_string").alias("src_cast_to_string"),
+    )
+    tgt_cfg = cfg.select(
+        F.col("connection_name").alias("tgt_connection_name"),
+        F.col("warehouse").alias("tgt_warehouse"),
+        F.col("jdbc_options").alias("tgt_jdbc_options"),
+    )
+    return mapping_df.join(src_cfg, "src_connection_name", "left_outer").join(
+        tgt_cfg, "tgt_connection_name", "left_outer"
+    )
 
 
 def run_mappings(

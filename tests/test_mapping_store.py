@@ -121,6 +121,41 @@ def test_latest_run_per_family(spark, tmp_root, stores):
     assert len(latest) == 1 and latest[0]["run_id"] == "r2"
 
 
+def test_resolve_connections_broadcast_join(spark):
+    from data_migration_validator_spark.validation import resolve_connections
+
+    mapping = spark.createDataFrame(
+        [("fam1", "netezza_prod", "dbx"), ("fam2", "oracle_dw", "dbx"),
+         ("fam3", "unknown_conn", "dbx")],
+        "table_family string, src_connection_name string, tgt_connection_name string",
+    )
+    config = spark.createDataFrame(
+        [("netezza_prod", "netezza", '{"url":"x"}', True),
+         ("oracle_dw", "oracle", '{"url":"y"}', False),
+         ("dbx", "databricks", "{}", False)],
+        "connection_name string, warehouse string, jdbc_options string, cast_to_string boolean",
+    )
+    out = {r["table_family"]: r for r in resolve_connections(mapping, config).collect()}
+    assert out["fam1"]["src_warehouse"] == "netezza" and out["fam1"]["src_cast_to_string"]
+    assert out["fam1"]["tgt_warehouse"] == "databricks"
+    assert out["fam2"]["src_jdbc_options"] == '{"url":"y"}'
+    assert out["fam3"]["src_warehouse"] is None  # left outer keeps the row
+    plan = resolve_connections(mapping, config)
+    assert "BroadcastHashJoin" in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_union_and_first_seen_union(spark):
+    from data_migration_validator_spark.operators import column_union, first_seen_union
+
+    assert column_union(["a", "b", "c"], ["b", "d", "a", "e"]) == [
+        "a", "b", "c", "d", "e"
+    ]
+    a = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v int")
+    b = spark.createDataFrame([("k2", 20), ("k3", 30)], "k string, v int")
+    out = {r["k"]: r["v"] for r in first_seen_union(a, b, "k", ["v"]).collect()}
+    assert out == {"k1": 1, "k2": 2, "k3": 30}  # a-side wins on overlap
+
+
 def test_load_mappings_csv_roundtrip(spark, tmp_root):
     p = os.path.join(tmp_root, "mappings.csv")
     with open(p, "w") as f:
