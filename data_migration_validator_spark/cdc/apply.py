@@ -130,13 +130,16 @@ def apply_batch(
     if batch_id is not None and table.has_batch(batch_id):
         return {"skipped": True, "batch_id": batch_id}
 
-    # 1. schema evolution events (rare; tiny driver-side collect)
+    # 1. schema evolution events (rare; tiny driver-side collect).  The
+    #    sort happens driver-side: an orderBy here would add a whole extra
+    #    range-partition SAMPLING scan of the batch just to sort a handful
+    #    of rows.
     sc_rows = (
         events.filter(F.col("schema_change").isNotNull())
         .select("event_seq", "schema_change")
-        .orderBy("event_seq")
         .collect()
     )
+    sc_rows.sort(key=lambda r: r["event_seq"])
     schema_applied = _apply_schema_changes(
         table, [json.loads(r["schema_change"]) for r in sc_rows]
     )

@@ -411,14 +411,23 @@ class LakeTable:
             rows_upserted = int(sum(r["n_up"] for r in bucket_stats))
             deletes_requested = int(sum(r["n_del"] for r in bucket_stats))
 
+            touched_has_files = any(
+                f["bucket"] in set(touched) for f in self.manifest["files"]
+            )
             existing = self.read(buckets=touched)
-            change_keys = changes.select(*keys)
-            n_changes = rows_upserted + deletes_requested
-            if broadcast_changes is True or (
-                broadcast_changes is None and n_changes <= broadcast_max_rows
-            ):
-                change_keys = F.broadcast(change_keys)
-            survivors = existing.join(change_keys, on=keys, how="left_anti")
+            if touched_has_files:
+                change_keys = changes.select(*keys)
+                n_changes = rows_upserted + deletes_requested
+                if broadcast_changes is True or (
+                    broadcast_changes is None and n_changes <= broadcast_max_rows
+                ):
+                    change_keys = F.broadcast(change_keys)
+                survivors = existing.join(change_keys, on=keys, how="left_anti")
+            else:
+                # initial load / all-new buckets: nothing to survive, so skip
+                # the anti-join entirely — otherwise a backfill would shuffle
+                # the whole change-key set against an empty scan for nothing.
+                survivors = existing
 
             rows_deleted = 0
             if count_deletes:

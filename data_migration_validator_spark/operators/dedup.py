@@ -360,6 +360,8 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops shingles present in more than N docs (stop
     shingles) — the standard guard against quadratic blowup; dropped
     shingles slightly underestimate jaccard for boilerplate-heavy pairs.
+    For large corpora prefer :func:`ngram_jaccard_prefix_pairs`, which is
+    exact AND prunes candidates losslessly.
     """
     sh = df.select(
         F.col(id_col),
@@ -393,3 +395,69 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact threshold Jaccard with LOSSLESS prefix filtering — the
+    100-TB-shaped variant of :func:`ngram_jaccard_pairs`.
+
+    Prefix-filter principle (Chaudhuri/Ganti/Kaushik SSJoin '06, Bayardo
+    et al. WWW '07): order every doc's shingles by a global rarity order
+    (doc-frequency asc, shingle); if J(A,B) ≥ t then A and B must share a
+    shingle within their first ``|X| - ⌈t·|X|⌉ + 1`` shingles under that
+    order.  So only prefix shingles enter the inverted-index join — stop
+    shingles land deep in every doc's suffix and never generate candidates
+    — and each candidate pair is then verified with exact whole-set
+    Jaccard.  Same output as the plain operator with no doc-freq cap, but
+    the join explodes |prefix| ≪ |doc| rows per doc and a hot shingle only
+    pairs docs for which it is actually discriminative.
+
+    Per-doc prefix selection is a window partitioned BY DOC (no global
+    sort); the only cross-doc shuffles are the doc-frequency aggregation
+    and the prefix equi-join.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(_shingles(text_col, ngram)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(docfreq, "shingle")
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    prefix = (
+        ranked.withColumn("__pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__pos")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        .select(id_col, "shingle")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    docs = df.select(F.col(id_col), F.col(text_col))
+    return (
+        cands.join(
+            docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")),
+            "id_a",
+        )
+        .join(
+            docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard("__ta", "__tb", ngram))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

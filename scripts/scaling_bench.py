@@ -1,15 +1,22 @@
 """N-vs-4N scaling evidence (BASELINE.json sandbox protocol).
 
 Runs the IDENTICAL CDC replay job (same seeded input, same batch plan) at
-two local parallelism levels — default local[8] (N) and local[32] (4N) —
-each in a fresh spark-submit process, and reports events/sec at both plus
-scaling efficiency = (T_N_wall / T_4N_wall) / 4.
+two local parallelism levels, each in a fresh spark-submit process, and
+reports events/sec at both plus scaling efficiency =
+(T_N_wall / T_4N_wall) / (high/low).
 
 Usage:
     python scripts/scaling_bench.py [n_events] [low_cores] [high_cores]
 
-Prints one JSON line and (with --update-baseline) rewrites the measured
-table in BASELINE.md.
+Env knobs: SCALING_REPEATS (interleaved repeats, min-of-k per level,
+default 3), SCALING_REPOS (key-space breadth, default 5000),
+SCALING_BATCHES (micro-batches; 1 = one big batch, default 4).
+
+Choosing the core pair: measure the HOST's parallel-CPU ceiling first
+(BASELINE.md records the sweep) — the N→4N pair must sit inside the
+host's linear region or the measurement reports the box's SMT/memory-
+bandwidth rolloff, not the job's scaling.  On this sandbox that means
+1→4 cores; 8→32 is physically capped at ~0.64 for ANY workload.
 """
 
 from __future__ import annotations
@@ -86,6 +93,22 @@ print("GEN_OK")
 """
 
 
+def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 600) -> None:
+    """Gate each leg on 1-min loadavg: the sandbox host has uncontrolled
+    external load spikes that inflate walls several-fold; starting a leg
+    into a storm wastes the repeat.  Mid-leg spikes remain possible — the
+    min-of-k estimator absorbs those."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 <= max_load:
+            return
+        _time.sleep(10)
+
+
 def spark_submit(cores: int, script: str, args: list[str]) -> str:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(script)
@@ -132,6 +155,7 @@ def main():
         runs: dict[int, list[dict]] = {low: [], high: []}
         for _ in range(repeats):
             for cores in (low, high):
+                wait_for_quiet(float(os.environ.get("SCALING_MAX_LOAD", "3.0")))
                 stdout = spark_submit(
                     cores, DRIVER, [str(n_events), str(cores), events_dir,
                     str(n_repos), str(n_batches)]

@@ -1,0 +1,76 @@
+"""spark-submit job drivers: CDC ingest (batch + stream) and the
+config-driven validation job, driven end-to-end in-process."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, *args):
+    """Run a driver with plain python (same interpreter spark-submit would
+    exec); returns the last JSON lines printed."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script), *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    return [json.loads(l) for l in p.stdout.splitlines() if l.startswith("{")]
+
+
+def test_cdc_job_batch_then_rerun_noop(spark, tmp_root):
+    from data_migration_validator_spark.cdc import change_events, write_events_batched
+
+    events_dir = os.path.join(tmp_root, "events")
+    table_root = os.path.join(tmp_root, "table")
+    ev = change_events(spark, 2_000, n_repos=20, seed=5, batch_size=1_000)
+    write_events_batched(ev, events_dir)
+
+    out = _run(
+        "run_cdc_job.py",
+        "--events-dir", events_dir,
+        "--table-root", table_root,
+        "--lineage-root", os.path.join(tmp_root, "lineage"),
+        "--num-buckets", "4",
+    )
+    assert out[-1]["batches_applied"] == 2 and out[-1]["mode"] == "batch"
+    # rerun: commit log makes it a no-op
+    out2 = _run(
+        "run_cdc_job.py", "--events-dir", events_dir, "--table-root", table_root
+    )
+    assert out2[-1]["batches_applied"] == 0 and out2[-1]["batches_skipped"] == 0
+
+
+def test_validation_job_end_to_end(spark, tmp_root):
+    data_dir = os.path.join(tmp_root, "data")
+    os.makedirs(data_dir)
+    base = spark.createDataFrame(
+        [(i, i * 2.0) for i in range(50)], "id long, amt double"
+    )
+    base.write.parquet(os.path.join(data_dir, "t_src.parquet"))
+    base.limit(45).write.parquet(os.path.join(data_dir, "t_tgt.parquet"))
+
+    mapping_csv = os.path.join(tmp_root, "map.csv")
+    with open(mapping_csv, "w") as f:
+        f.write(
+            "table_family,src_table,tgt_table,key_cols,compare_cols,filter,"
+            "date_col,quick_validation,is_active\n"
+            "fam_t,t_src,t_tgt,id,,,,false,true\n"
+        )
+    out = _run(
+        "run_validation_job.py",
+        "--mapping-csv", mapping_csv,
+        "--data-dir", data_dir,
+        "--metrics-root", os.path.join(tmp_root, "metrics"),
+        "--run-id", "rj1",
+    )
+    row = out[-1]
+    assert row["table_family"] == "fam_t"
+    assert row["final_validation_status"] == "FAILED"  # 5 src extras
+    assert row["src_extras"] == 5 and row["mismatches"] == 0

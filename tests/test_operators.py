@@ -69,6 +69,42 @@ def test_simhash_similar_docs_have_close_signatures(docs):
     assert (0, 1) in pairs
 
 
+def test_ngram_prefix_pairs_equal_plain_operator(spark):
+    # lossless prefix filtering: identical output to the uncapped plain
+    # inverted-index operator on a corpus with true near-dups + noise
+    import random
+
+    from data_migration_validator_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for g in range(15):
+        base = [rng.choice(vocab) for _ in range(40)]
+        var = list(base)
+        var[rng.randrange(40)] = rng.choice(vocab)
+        rows += [(g * 2, " ".join(base)), (g * 2 + 1, " ".join(var))]
+    for i in range(100):
+        rows.append((500 + i, " ".join(rng.choice(vocab) for _ in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    plain = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.6, max_doc_freq=10_000
+        ).collect()
+    }
+    prefix = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_prefix_pairs(
+            df, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    assert plain and prefix == plain
+
+
 def test_minhash_recall_vs_exact_jaccard(spark):
     # quantified recall on a seeded corpus: ground truth = exact inverted-
     # index Jaccard; MinHash LSH (32 hashes, 8 bands) must recover >= 90%
