@@ -635,9 +635,9 @@ def q_cdc_replay(spark, sf_dir):
             final, oracle, ["repo", "path"], ["commit", "lang", "content"]
         )
         out = rec.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
-        out = out.cache()
-        out.count()  # materialize before tmp dir vanishes
-        return out
+        # Rebuild from collected rows: a cache()d plan is not durable (an
+        # evicted partition would recompute from the deleted tmp dir).
+        return spark.createDataFrame(out.collect(), out.schema)
 
 
 def q_validation_summary(spark, sf_dir):

@@ -4,11 +4,24 @@ Runs the headline operator queries from ``__spark_entry__`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and a seeded CDC replay (the engine's core
 path: synthesize → batched MERGE replay → digest-verified vs the batch
-oracle).  Prints ONE JSON line:
+oracle), plus the Structured Streaming (availableNow + foreachBatch +
+lineage) variant of the same replay.  Prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ...,
-     "cdc": {"events": N, "events_per_sec": X, "verified": true}}
+     "cdc": {"events": N, "events_per_sec": X, "verified": true},
+     "cdc_stream": {...}}
+
+Noise control (the sandbox host has uncontrolled external load):
+
+- a full WARM-UP pass runs every query once before any timing, so JIT,
+  codegen caches, and file-listing caches don't land on query #1;
+- each query is then timed ``$SPARK_GRAFT_BENCH_REPEATS`` times (default 2)
+  in round-robin order (all queries pass 1, then all queries pass 2, …) and
+  the reported number is the MIN — interleaving means a host load spike
+  degrades one pass of many queries instead of all passes of one query;
+- each timing pass gates on 1-min loadavg ≤ $SPARK_GRAFT_BENCH_MAX_LOAD
+  (default 8) so a pass doesn't start into a storm.
 
 Scaling evidence (N vs 4N parallelism) lives in scripts/scaling_bench.py →
 BASELINE.md; this file is the per-round driver entrypoint.
@@ -53,80 +66,166 @@ HEADLINE = [
 ]
 
 
-def bench_cdc_replay(spark, n_events: int, n_batches: int = 8) -> dict:
-    """Seeded end-to-end replay: generate → write batched → MERGE replay →
-    reconcile vs oracle.  Returns events/sec for the replay phase only."""
-    from pyspark.sql import functions as F
+def _wait_for_quiet(max_load: float, timeout_s: int = 300) -> None:
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        with open("/proc/loadavg") as f:
+            if float(f.read().split()[0]) <= max_load:
+                return
+        time.sleep(5)
 
-    from data_migration_validator_spark.cdc.events import change_events, write_events_batched
-    from data_migration_validator_spark.cdc.oracle import expected_final_state
-    from data_migration_validator_spark.cdc.replay import replay
-    from data_migration_validator_spark.lake.schema import TableSchema
-    from data_migration_validator_spark.lake.table import LakeTable
-    from data_migration_validator_spark.validation.reconcile import hash_reconcile
+
+def _events_fixture(spark, tmp: str, n_events: int, n_batches: int):
+    from data_migration_validator_spark.cdc.events import (
+        change_events,
+        write_events_batched,
+    )
 
     ev = change_events(
         spark, n_events=n_events, n_repos=200, seed=42,
         batch_size=max(1, n_events // n_batches),
     )
+    write_events_batched(ev, f"{tmp}/events")
+    return ev
+
+
+def _new_table(spark, path: str):
+    from data_migration_validator_spark.lake.schema import TableSchema
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    return LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_pairs(
+            [("repo", "string"), ("path", "string"), ("commit", "string"),
+             ("lang", "string"), ("content", "string")]
+        ),
+        key_cols=["repo", "path"],
+        bucket_col="repo",
+        num_buckets=16,
+    )
+
+
+def _verify(table, ev) -> bool:
+    from pyspark.sql import functions as F
+
+    from data_migration_validator_spark.cdc.oracle import expected_final_state
+    from data_migration_validator_spark.validation.reconcile import hash_reconcile
+
+    rec = hash_reconcile(
+        table.read(), expected_final_state(ev),
+        ["repo", "path"], ["commit", "lang", "content"],
+    )
+    return rec.filter(F.col("status") != "MATCH").count() == 0
+
+
+def bench_cdc_replay(
+    spark, n_events: int, n_batches: int = 8, repeats: int = 2, max_load: float = 8.0
+) -> dict:
+    """Seeded end-to-end replay: generate → write batched → MERGE replay →
+    reconcile vs oracle.  min-of-k on the replay phase; verify once."""
     with tempfile.TemporaryDirectory() as tmp:
-        write_events_batched(ev, f"{tmp}/events")
-        table = LakeTable.create(
-            spark,
-            f"{tmp}/repo_content",
-            TableSchema.from_pairs(
-                [("repo", "string"), ("path", "string"), ("commit", "string"),
-                 ("lang", "string"), ("content", "string")]
-            ),
-            key_cols=["repo", "path"],
-            bucket_col="repo",
-            num_buckets=16,
-        )
-        t0 = time.monotonic()
-        stats = replay(table, f"{tmp}/events")
-        replay_s = time.monotonic() - t0
-        rec = hash_reconcile(
-            table.read(), expected_final_state(ev),
-            ["repo", "path"], ["commit", "lang", "content"],
-        )
-        bad = rec.filter(F.col("status") != "MATCH").count()
+        ev = _events_fixture(spark, tmp, n_events, n_batches)
+        from data_migration_validator_spark.cdc.replay import replay
+
+        walls, table, stats = [], None, None
+        for i in range(max(1, repeats)):
+            _wait_for_quiet(max_load)
+            table = _new_table(spark, f"{tmp}/repo_content_{i}")
+            t0 = time.monotonic()
+            stats = replay(table, f"{tmp}/events")
+            walls.append(time.monotonic() - t0)
+        replay_s = min(walls)
         return {
             "events": n_events,
             "batches": stats["batches_applied"],
             "replay_sec": round(replay_s, 3),
+            "all_sec": [round(w, 3) for w in walls],
             "events_per_sec": round(n_events / replay_s, 1),
-            "verified": bad == 0,
+            "verified": _verify(table, ev),
+        }
+
+
+def bench_cdc_stream(
+    spark, n_events: int, n_batches: int = 8, repeats: int = 2, max_load: float = 8.0
+) -> dict:
+    """Same fixture through the Structured Streaming path (availableNow →
+    foreachBatch idempotent sink) with per-partition lineage enabled,
+    proving the streaming wrapper adds no serial cost vs batch replay."""
+    from data_migration_validator_spark.cdc.apply import make_lineage_table
+    from data_migration_validator_spark.streaming.stream import run_stream_once
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _events_fixture(spark, tmp, n_events, n_batches)
+        walls, table = [], None
+        for i in range(max(1, repeats)):
+            _wait_for_quiet(max_load)
+            table = _new_table(spark, f"{tmp}/repo_content_s{i}")
+            lineage = make_lineage_table(spark, f"{tmp}/lineage_{i}")
+            t0 = time.monotonic()
+            run_stream_once(
+                table, f"{tmp}/events", f"{tmp}/ckpt_{i}",
+                lineage=lineage, max_files_per_trigger=64,
+            )
+            walls.append(time.monotonic() - t0)
+        stream_s = min(walls)
+        return {
+            "events": n_events,
+            "stream_sec": round(stream_s, 3),
+            "all_sec": [round(w, 3) for w in walls],
+            "events_per_sec": round(n_events / stream_s, 1),
+            "lineage_rows": lineage.read().count(),
+            "verified": _verify(table, ev),
         }
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     spark = get_spark("bench", cores=cpus)
 
     qs = E.queries()
-    per_query = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        per_query[name] = round(time.monotonic() - t0, 3)
 
-    cdc = bench_cdc_replay(spark, n_events=int(400_000 * max(sf / 0.1, 0.1)), n_batches=4)
+    # Warm-up: one untimed pass over everything (JIT, codegen cache, file
+    # listing, shuffle-service init).
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).count()
+
+    # Interleaved min-of-k.
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for _ in range(max(1, repeats)):
+        for name in HEADLINE:
+            _wait_for_quiet(max_load)
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            samples[name].append(time.monotonic() - t0)
+    per_query = {n: round(min(s), 3) for n, s in samples.items()}
+
+    n_ev = int(400_000 * max(sf / 0.1, 0.1))
+    cdc = bench_cdc_replay(spark, n_events=n_ev, n_batches=4,
+                           repeats=repeats, max_load=max_load)
     per_query["cdc_replay"] = cdc["replay_sec"]
+    cdc_stream = bench_cdc_stream(spark, n_events=n_ev, n_batches=4,
+                                  repeats=repeats, max_load=max_load)
+    per_query["cdc_stream"] = cdc_stream["stream_sec"]
 
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline query suite + verified CDC replay, total wall",
+                "metric": "headline query suite + verified CDC replay "
+                          "(min-of-%d, warmed) total wall" % max(1, repeats),
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
                 "cpus": cpus,
+                "repeats": repeats,
                 "cdc": cdc,
+                "cdc_stream": cdc_stream,
             }
         )
     )

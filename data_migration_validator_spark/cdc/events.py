@@ -15,6 +15,7 @@ the payload of the max-event_seq event, dropped if that event is a delete.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -128,14 +129,38 @@ def change_events(
     )
 
 
-def write_events_batched(events: DataFrame, out_dir: str) -> list[int]:
+def write_events_batched(
+    events: DataFrame, out_dir: str, files_per_batch: int = 16
+) -> list[int]:
     """Persist the stream partitioned by batch_hint (one dir per micro-batch).
 
     Replay/streaming then reads each batch with directory pruning instead of
     re-scanning the whole stream per batch.  Returns the ordered batch ids.
+
+    Each batch is laid out as ~``files_per_batch`` files, NOT one: a
+    one-file-per-batch layout caps the replay's scan/dedup-map side at one
+    task per batch regardless of executor count, serialising every narrow
+    stage before the first shuffle (this was measured to cut N→4N scaling
+    efficiency to 0.29-0.45).
+
+    Two invariants make the layout safe for the *streaming* reader, which
+    pulls ``maxFilesPerTrigger`` files per micro-batch in modification-time
+    order and may therefore split one batch dir across triggers:
+
+    - the slice key is a hash of (repo, path), so ALL of a key's events
+      within a batch land in the SAME file — no trigger split can apply a
+      key's events out of order within a batch;
+    - file mtimes are stamped strictly increasing in (batch, file) order,
+      so the file source's time-ordered listing replays batches in stream
+      order — exactly the arrival order a real tailing source would see,
+      which a single bulk parquet write job otherwise erases.
     """
+    # Explicit partition count: an AQE-coalescible exchange would fold the
+    # small shuffle back into one partition and re-serialise the layout.
+    n_parts = max(64, files_per_batch)
+    slice_col = F.pmod(F.xxhash64("repo", "path"), F.lit(files_per_batch))
     (
-        events.repartition("batch_hint")
+        events.repartition(n_parts, F.col("batch_hint"), slice_col)
         .sortWithinPartitions("event_seq")
         .write.mode("overwrite")
         .partitionBy("batch_hint")
@@ -146,4 +171,15 @@ def write_events_batched(events: DataFrame, out_dir: str) -> list[int]:
         for d in os.listdir(out_dir)
         if d.startswith("batch_hint=")
     )
+    # Restore arrival order: one bulk write gives every file the same mtime,
+    # but batch N's files must sort before batch N+1's for the file stream.
+    t0 = time.time() - len(batches) * files_per_batch * 2e-3 - 60
+    tick = 0
+    for b in batches:
+        bdir = os.path.join(out_dir, f"batch_hint={b}")
+        for name in sorted(os.listdir(bdir)):
+            if name.startswith("part-"):
+                tick += 1
+                ts = t0 + tick * 2e-3
+                os.utime(os.path.join(bdir, name), (ts, ts))
     return batches

@@ -312,12 +312,16 @@ class LakeTable:
         self, touched: set[int], new_rows: dict[int, int], add: bool = False
     ) -> dict[str, int]:
         """Next manifest's bucket_rows: touched buckets take (or add) the
-        new counts, others carry over."""
-        out = {
-            b: n
-            for b, n in self.manifest.get("bucket_rows", {}).items()
-            if int(b) not in touched or add
-        }
+        new counts, others carry over.  A legacy manifest (predating
+        bucket_rows) seeds the carry-over from its per-file row counts so
+        untouched buckets don't silently drop to zero on the first rewrite."""
+        current = self.manifest.get("bucket_rows")
+        if current is None:
+            current = {}
+            for f in self.manifest["files"]:
+                b = str(f["bucket"])
+                current[b] = current.get(b, 0) + f.get("rows", 0)
+        out = {b: n for b, n in current.items() if int(b) not in touched or add}
         for b, n in new_rows.items():
             out[str(b)] = out.get(str(b), 0) + n if add else n
         return out
@@ -476,11 +480,14 @@ class LakeTable:
         the bucket column to literal value(s) (``src = 'x'`` / ``src IN
         ('a','b')``), return their buckets so the discovery scan is
         file-pruned too.  Returns None (no pruning) when the predicate can't
-        be analyzed safely — any OR, or no bucket-column equality."""
+        be analyzed safely — any OR or NOT (a negated equality must NOT prune
+        to the literal's bucket), or no bucket-column equality.  Numeric
+        literals must be integers: a float like ``col = 10.5`` would regex-
+        truncate to 10 and prune the wrong bucket, so it disables pruning."""
         src = self.bucket_source
-        if re.search(r"\bOR\b", predicate, re.IGNORECASE):
+        if re.search(r"\bOR\b|\bNOT\b|!=|<>", predicate, re.IGNORECASE):
             return None
-        lit = r"'[^']*'|\"[^\"]*\"|-?\d+"
+        lit = r"'[^']*'|\"[^\"]*\"|-?\d+(?![\d.])"
         m = re.search(
             rf"\b{re.escape(src)}\s*(?:==|=)\s*({lit})", predicate
         ) or re.search(
@@ -542,6 +549,14 @@ class LakeTable:
                 raise TypeError(
                     f"assignment for {c!r} must be a Column or SQL expression "
                     f"string, got {type(v).__name__}"
+                )
+            if c == self.bucket_source or c in self.key_cols:
+                # rewriting the bucket-source (or a key) would migrate rows
+                # into buckets outside the touched set, corrupting the
+                # per-bucket row accounting and breaking key-pruned reads.
+                raise ValueError(
+                    f"cannot UPDATE {c!r}: it is the bucket/key column; "
+                    "delete + re-insert (MERGE) instead"
                 )
         touched, n = self._discover_touched(predicate)
         if not touched:

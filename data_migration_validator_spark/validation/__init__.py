@@ -1,11 +1,17 @@
 from .checks import primary_key_validation, timeline, windowed_validation  # noqa: F401
 from .reconcile import (  # noqa: F401
+    annotated_comparison,
+    column_metrics_from_annotated,
     column_mismatch_metrics,
+    counts_from_annotated,
     extras,
+    extras_from_annotated,
     full_outer_report,
     hash_reconcile,
+    mismatch_rows_from_annotated,
     reconcile_counts,
     row_level_mismatches,
+    windowed_from_annotated,
     with_row_digest,
 )
 from .schema_check import (  # noqa: F401
@@ -15,7 +21,7 @@ from .schema_check import (  # noqa: F401
     schema_store,
     type_compatibility,
 )
-from .summary import validation_summary  # noqa: F401
+from .summary import summary_from_annotated, validation_summary  # noqa: F401
 from .pipeline import run_validation  # noqa: F401
 from .quick import anomalous_keys, fetch_anomalous_rows, quick_validate  # noqa: F401
 from .mapping import (  # noqa: F401
@@ -25,12 +31,18 @@ from .mapping import (  # noqa: F401
     run_mappings,
 )
 from .store import (  # noqa: F401
+    make_anomaly_table,
     make_column_metrics_table,
     make_log_table,
+    make_pk_table,
     make_summary_table,
+    make_windowed_table,
+    persist_anomalies,
     persist_column_metrics,
     persist_log,
+    persist_pk,
     persist_summary,
+    persist_windowed,
 )
 from .report import (  # noqa: F401
     anomaly_browser,

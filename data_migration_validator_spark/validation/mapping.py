@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 from ..lake.table import LakeTable
 from ..sources.files import csv_config_source
 from .pipeline import run_validation
-from .store import persist_column_metrics, persist_log, persist_summary
+from .store import (
+    persist_anomalies,
+    persist_column_metrics,
+    persist_log,
+    persist_pk,
+    persist_summary,
+    persist_windowed,
+)
 
 MAPPING_CSV_SCHEMA = (
     "table_family string, src_table string, tgt_table string, "
@@ -120,6 +127,9 @@ def run_mappings(
     summary_table: LakeTable | None = None,
     log_table: LakeTable | None = None,
     column_metrics_table: LakeTable | None = None,
+    anomaly_table: LakeTable | None = None,
+    windowed_table: LakeTable | None = None,
+    pk_table: LakeTable | None = None,
 ) -> dict[str, dict]:
     """Validate every active configured pair; returns {table_family: reports}.
 
@@ -189,8 +199,41 @@ def run_mappings(
                     reports["column_metrics"],
                 )
                 _log("persist_metrics", "SUCCESS")
+            if anomaly_table is not None and "annotated" in reports:
+                cmp_cols = m.compare_cols or [
+                    c
+                    for c in src.columns
+                    if c in set(tgt.columns) and c not in m.key_cols
+                ]
+                persist_anomalies(
+                    anomaly_table,
+                    run_id,
+                    m.table_family,
+                    reports["annotated"],
+                    m.key_cols,
+                    cmp_cols,
+                )
+                _log("persist_anomalies", "SUCCESS")
+            if windowed_table is not None and "windowed" in reports:
+                persist_windowed(
+                    windowed_table, run_id, m.table_family, reports["windowed"]
+                )
+                _log("persist_windowed", "SUCCESS")
+            if pk_table is not None:
+                persist_pk(
+                    pk_table,
+                    run_id,
+                    m.table_family,
+                    reports["pk_src"],
+                    reports["pk_tgt"],
+                )
+                _log("persist_pk", "SUCCESS")
         except Exception as exc:  # record FAILED + exception, keep going
-            _log("validate", "FAILED", f"{exc}\n{traceback.format_exc(limit=3)}")
+            # distinct stage name: a persist step can fail AFTER a successful
+            # _log("validate", ...), and two rows with the same (run_id,
+            # table_family, stage) key in one merge batch would violate the
+            # MERGE's pre-deduped contract.
+            _log("error", "FAILED", f"{exc}\n{traceback.format_exc(limit=3)}")
             if summary_table is not None:
                 persist_summary(
                     summary_table,

@@ -21,13 +21,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .checks import primary_key_validation, windowed_validation
+from .checks import primary_key_validation
 from .quick import quick_validate
 from .reconcile import (
-    column_mismatch_metrics,
-    extras,
-    reconcile_counts,
-    row_level_mismatches,
+    annotated_comparison,
+    column_metrics_from_annotated,
+    counts_from_annotated,
+    extras_from_annotated,
+    mismatch_rows_from_annotated,
+    windowed_from_annotated,
 )
 from .schema_check import (
     default_compatibility_matrix,
@@ -36,7 +38,7 @@ from .schema_check import (
     schema_store,
     type_compatibility,
 )
-from .summary import validation_summary
+from .summary import summary_from_annotated
 
 
 def run_validation(
@@ -48,7 +50,19 @@ def run_validation(
     quick: bool = False,
 ) -> dict:
     """Run the full validation pipeline; returns a dict of report DataFrames
-    plus the summary status dict under ``"summary"``."""
+    plus the summary status dict under ``"summary"``.
+
+    Cost model (the 100-TB shape): ONE full-outer join of src×tgt — the
+    annotated frame, persisted under ``"annotated"`` — feeds reconcile
+    counts, per-column metrics, row-level mismatches, extras both sides and
+    windowed buckets as narrow derivations; PK validation scans each input
+    once (agg only, no join); summary statuses come from one ``.collect()``
+    of one cross-joined aggregate row.  The reference issues 5-6 independent
+    src×tgt joins for the same reports (migration-data-validation.py:
+    887-1384).  Callers that materialize many reports should leave the
+    annotated frame persisted until done, then
+    ``reports["annotated"].unpersist()``.
+    """
     spark = src.sparkSession
     if compare_cols is None:
         compare_cols = [
@@ -63,36 +77,33 @@ def run_validation(
         name_type, default_compatibility_matrix(spark)
     )
 
+    ann = annotated_comparison(src, tgt, key_cols, compare_cols, date_col).persist()
+    pk_src = primary_key_validation(src, key_cols)
+    pk_tgt = primary_key_validation(tgt, key_cols)
+
     reports: dict = {
+        "annotated": ann,
         "ordinal": ordinal,
         "name_type": name_type,
         "compatibility": compatibility,
-        "reconcile_counts": reconcile_counts(src, tgt, key_cols, compare_cols),
-        "column_metrics": column_mismatch_metrics(src, tgt, key_cols, compare_cols),
-        "pk_src": primary_key_validation(src, key_cols),
-        "pk_tgt": primary_key_validation(tgt, key_cols),
+        "reconcile_counts": counts_from_annotated(ann),
+        "column_metrics": column_metrics_from_annotated(ann, compare_cols),
+        "pk_src": pk_src,
+        "pk_tgt": pk_tgt,
     }
     if quick:
         reports["quick"] = quick_validate(src, tgt, key_cols, compare_cols)
     else:
-        reports["mismatch_rows"] = row_level_mismatches(
-            src, tgt, key_cols, compare_cols
+        reports["mismatch_rows"] = mismatch_rows_from_annotated(
+            ann, key_cols, compare_cols
         )
-        src_only, tgt_only = extras(src, tgt, key_cols)
+        src_only, tgt_only = extras_from_annotated(ann, key_cols, compare_cols)
         reports["src_extras_rows"] = src_only
         reports["tgt_extras_rows"] = tgt_only
     if date_col is not None:
-        reports["windowed"] = windowed_validation(
-            src, tgt, key_cols, date_col, compare_cols
-        )
+        reports["windowed"] = windowed_from_annotated(ann)
 
-    reports["summary"] = validation_summary(
-        reports["reconcile_counts"],
-        reports["pk_src"],
-        reports["pk_tgt"],
-        reports["column_metrics"],
-        name_type,
-        ordinal,
-        compatibility,
+    reports["summary"] = summary_from_annotated(
+        ann, compare_cols, pk_src, pk_tgt, name_type, ordinal, compatibility
     )
     return reports

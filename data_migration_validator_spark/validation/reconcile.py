@@ -170,6 +170,157 @@ def column_mismatch_metrics(
     ).select("column_name", "total_overlaps", "matches", "mismatches", "src_extras", "tgt_extras")
 
 
+def annotated_comparison(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    date_col: str | None = None,
+) -> DataFrame:
+    """ONE full-outer join carrying everything every downstream report
+    needs: presence flags, per-column ``<col>_src``/``<col>_tgt`` value
+    pairs, per-column null-safe equality bits, the 4-way status, and (when
+    ``date_col`` is given) the coalesced date bucket.
+
+    This is the pipeline's single shuffle of the src×tgt pair: reconcile
+    counts, per-column metrics, row-level mismatches, extras both sides and
+    windowed buckets are all narrow derivations of this frame (persist it
+    once, derive many) — replacing the 5-6 independent full-outer/anti
+    joins the reference's per-report SQL issues
+    (migration-data-validation.py:887-924, 1156-1188, 1313-1384).
+
+    Assumes ``key_cols`` is a primary key per side (the reference's
+    contract; violations are surfaced separately by
+    ``primary_key_validation``, which scans each input once without a join).
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in src.columns if c in set(tgt.columns) and c not in key_cols
+        ]
+    s_cols = [F.lit(1).alias("__s")] + [
+        F.col(c).alias(f"{c}_src") for c in compare_cols
+    ]
+    t_cols = [F.lit(1).alias("__t")] + [
+        F.col(c).alias(f"{c}_tgt") for c in compare_cols
+    ]
+    if date_col is not None:
+        s_cols.append(F.to_date(F.col(date_col)).alias("__src_date"))
+        t_cols.append(F.to_date(F.col(date_col)).alias("__tgt_date"))
+    s = src.select(*key_cols, *s_cols)
+    t = tgt.select(*key_cols, *t_cols)
+    j = s.join(t, on=list(key_cols), how="full_outer")
+    eq_cols = {
+        f"__eq_{c}": F.col(f"{c}_src").eqNullSafe(F.col(f"{c}_tgt"))
+        for c in compare_cols
+    }
+    j = j.withColumns(eq_cols)
+    all_eq = F.lit(True)
+    for c in compare_cols:
+        all_eq = all_eq & F.col(f"__eq_{c}")
+    status = (
+        F.when(F.col("__s").isNull(), F.lit("TGT_EXTRA"))
+        .when(F.col("__t").isNull(), F.lit("SRC_EXTRA"))
+        .when(all_eq, F.lit("MATCH"))
+        .otherwise(F.lit("MISMATCH"))
+    )
+    j = j.withColumn("status", status)
+    if date_col is not None:
+        j = j.withColumn(
+            "bucket_date", F.coalesce("__src_date", "__tgt_date")
+        ).drop("__src_date", "__tgt_date")
+    return j
+
+
+def counts_from_annotated(ann: DataFrame) -> DataFrame:
+    """reconcile_counts derived from the annotated frame (no new join)."""
+    return ann.agg(
+        F.sum(F.when(F.col("status") == "MATCH", 1).otherwise(0)).alias("matches"),
+        F.sum(F.when(F.col("status") == "MISMATCH", 1).otherwise(0)).alias("mismatches"),
+        F.sum(F.when(F.col("status") == "SRC_EXTRA", 1).otherwise(0)).alias("src_extras"),
+        F.sum(F.when(F.col("status") == "TGT_EXTRA", 1).otherwise(0)).alias("tgt_extras"),
+    )
+
+
+def column_metrics_from_annotated(
+    ann: DataFrame, compare_cols: list[str]
+) -> DataFrame:
+    """column_mismatch_metrics derived from the annotated frame: one agg +
+    an unpivot of the 1-row wide result."""
+    both = F.col("__s").isNotNull() & F.col("__t").isNotNull()
+    aggs = [
+        F.sum(F.when(both, 1).otherwise(0)).alias("total_overlaps"),
+        F.sum(F.when(F.col("status") == "SRC_EXTRA", 1).otherwise(0)).alias("src_extras"),
+        F.sum(F.when(F.col("status") == "TGT_EXTRA", 1).otherwise(0)).alias("tgt_extras"),
+    ]
+    for c in compare_cols:
+        eq = F.col(f"__eq_{c}")
+        aggs.append(F.sum(F.when(both & eq, 1).otherwise(0)).alias(f"__m__{c}"))
+        aggs.append(F.sum(F.when(both & ~eq, 1).otherwise(0)).alias(f"__x__{c}"))
+    wide = ann.agg(*aggs)
+    stack_items = ", ".join(f"'{c}', `__m__{c}`, `__x__{c}`" for c in compare_cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(compare_cols)}, {stack_items}) as (column_name, matches, mismatches)"
+        ),
+        "total_overlaps",
+        "src_extras",
+        "tgt_extras",
+    ).select(
+        "column_name", "total_overlaps", "matches", "mismatches",
+        "src_extras", "tgt_extras",
+    )
+
+
+def mismatch_rows_from_annotated(
+    ann: DataFrame, key_cols: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """row_level_mismatches derived from the annotated frame: filter
+    MISMATCH, emit the src-side and tgt-side versions tagged by ``side``.
+    Identical to the signed-count formulation when keys are unique."""
+    bad = ann.filter(F.col("status") == "MISMATCH")
+    s = bad.select(
+        *key_cols,
+        *[F.col(f"{c}_src").alias(c) for c in compare_cols],
+        F.lit("src").alias("side"),
+    )
+    t = bad.select(
+        *key_cols,
+        *[F.col(f"{c}_tgt").alias(c) for c in compare_cols],
+        F.lit("tgt").alias("side"),
+    )
+    return s.unionByName(t).orderBy(*key_cols, "side")
+
+
+def extras_from_annotated(
+    ann: DataFrame, key_cols: list[str], compare_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """(src-only rows, tgt-only rows) derived from the annotated frame.
+    Schema: key columns + compare columns of the surviving side."""
+    src_only = ann.filter(F.col("status") == "SRC_EXTRA").select(
+        *key_cols, *[F.col(f"{c}_src").alias(c) for c in compare_cols]
+    )
+    tgt_only = ann.filter(F.col("status") == "TGT_EXTRA").select(
+        *key_cols, *[F.col(f"{c}_tgt").alias(c) for c in compare_cols]
+    )
+    return src_only, tgt_only
+
+
+def windowed_from_annotated(ann: DataFrame) -> DataFrame:
+    """windowed_validation derived from an annotated frame built with a
+    ``date_col``: one groupBy on the already-joined rows."""
+    return (
+        ann.groupBy("bucket_date")
+        .agg(
+            F.sum(F.when(F.col("status") != "TGT_EXTRA", 1).otherwise(0)).alias("src_count"),
+            F.sum(F.when(F.col("status") != "SRC_EXTRA", 1).otherwise(0)).alias("tgt_count"),
+            F.sum(F.when(F.col("status") == "SRC_EXTRA", 1).otherwise(0)).alias("src_extras"),
+            F.sum(F.when(F.col("status") == "TGT_EXTRA", 1).otherwise(0)).alias("tgt_extras"),
+            F.sum(F.when(F.col("status") == "MISMATCH", 1).otherwise(0)).alias("mismatched_rows"),
+        )
+        .orderBy("bucket_date")
+    )
+
+
 def row_level_mismatches(
     src: DataFrame,
     tgt: DataFrame,

@@ -66,6 +66,34 @@ COLUMN_METRICS_SCHEMA = [
     ("tgt_extras", "bigint"),
 ]
 
+ANOMALY_SCHEMA = [
+    ("run_id", "string"),
+    ("table_family", "string"),
+    ("status", "string"),  # MISMATCH_SRC | MISMATCH_TGT | SRC_EXTRA | TGT_EXTRA
+    ("key_json", "string"),  # to_json(struct(key cols)) — pair-agnostic key
+    ("row", "map<string,string>"),  # compared columns, stringified
+]
+
+WINDOWED_SCHEMA = [
+    ("run_id", "string"),
+    ("table_family", "string"),
+    ("bucket_date", "date"),
+    ("src_count", "bigint"),
+    ("tgt_count", "bigint"),
+    ("src_extras", "bigint"),
+    ("tgt_extras", "bigint"),
+    ("mismatched_rows", "bigint"),
+]
+
+PK_SCHEMA = [
+    ("run_id", "string"),
+    ("table_family", "string"),
+    ("side", "string"),  # src | tgt
+    ("total_count", "bigint"),
+    ("distinct_count", "bigint"),
+    ("pk_violations", "bigint"),
+]
+
 _STATUS_COLS = [c for c, _ in SUMMARY_SCHEMA if c.endswith("_status")]
 
 
@@ -101,6 +129,127 @@ def make_column_metrics_table(spark: SparkSession, root: str) -> LakeTable:
         ["run_id", "table_family", "column_name"],
         "table_family",
     )
+
+
+def make_anomaly_table(spark: SparkSession, root: str) -> LakeTable:
+    """``__anomalies`` / ``__mismatch_data`` analog (conf/constants.py:51-69;
+    writes migration-data-validation.py:1228-1241, 1351-1364).
+
+    The reference creates one dynamically-schemed staging table per table
+    family; here ONE fixed-schema table serves every pair — the composite
+    key goes to ``key_json`` (``to_json(struct(keys))``) and the compared
+    columns to a string map, so the browser can filter any family without
+    per-family DDL and the MERGE key stays stable."""
+    return _open(
+        spark,
+        root,
+        ANOMALY_SCHEMA,
+        ["run_id", "table_family", "status", "key_json"],
+        "table_family",
+    )
+
+
+def make_windowed_table(spark: SparkSession, root: str) -> LakeTable:
+    """``windowed_validation_metrics`` analog (DDLs.py:57-90; writes
+    migration-data-validation.py:1366-1384)."""
+    return _open(
+        spark,
+        root,
+        WINDOWED_SCHEMA,
+        ["run_id", "table_family", "bucket_date"],
+        "table_family",
+    )
+
+
+def make_pk_table(spark: SparkSession, root: str) -> LakeTable:
+    """``primary_key_validation`` analog (DDLs.py:93-118; writes
+    migration-data-validation.py:1444-1459)."""
+    return _open(
+        spark, root, PK_SCHEMA, ["run_id", "table_family", "side"], "table_family"
+    )
+
+
+def persist_anomalies(
+    table: LakeTable,
+    run_id: str,
+    table_family: str,
+    annotated: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> None:
+    """Persist every non-MATCH row from the annotated comparison frame in
+    ONE MERGE: mismatches as two rows (src + tgt version), extras as one.
+    A narrow derivation — no new src×tgt join; the caller's persisted
+    annotated frame is the only data pass."""
+    key_json = F.to_json(F.struct(*[F.col(k) for k in key_cols]))
+
+    def _side(suffix: str, status_val, status_name: str) -> DataFrame:
+        return annotated.filter(F.col("status") == status_val).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(table_family).alias("table_family"),
+            F.lit(status_name).alias("status"),
+            key_json.alias("key_json"),
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in compare_cols]),
+                F.array(
+                    *[F.col(f"{c}_{suffix}").cast("string") for c in compare_cols]
+                ),
+            ).alias("row"),
+        )
+
+    out = (
+        _side("src", "MISMATCH", "MISMATCH_SRC")
+        .unionByName(_side("tgt", "MISMATCH", "MISMATCH_TGT"))
+        .unionByName(_side("src", "SRC_EXTRA", "SRC_EXTRA"))
+        .unionByName(_side("tgt", "TGT_EXTRA", "TGT_EXTRA"))
+        .withColumn("op", F.lit("update"))
+    )
+    table.merge(out, op_col="op")
+
+
+def persist_windowed(
+    table: LakeTable, run_id: str, table_family: str, windowed: DataFrame
+) -> None:
+    """Persist a windowed_validation frame (lit-tagged MERGE, no collect)."""
+    tagged = windowed.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(table_family).alias("table_family"),
+        "bucket_date",
+        *[
+            F.col(c).cast("bigint").alias(c)
+            for c in (
+                "src_count", "tgt_count", "src_extras", "tgt_extras",
+                "mismatched_rows",
+            )
+        ],
+        F.lit("update").alias("op"),
+    )
+    table.merge(tagged, op_col="op")
+
+
+def persist_pk(
+    table: LakeTable,
+    run_id: str,
+    table_family: str,
+    pk_src: DataFrame,
+    pk_tgt: DataFrame,
+) -> None:
+    """Persist both sides' PK checks as two rows in one MERGE."""
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(table_family).alias("table_family"),
+            F.lit(side).alias("side"),
+            F.col("total_count").cast("bigint").alias("total_count"),
+            F.col("distinct_count").cast("bigint").alias("distinct_count"),
+            F.col("pk_violations").cast("bigint").alias("pk_violations"),
+        )
+
+    out = _tag(pk_src, "src").unionByName(_tag(pk_tgt, "tgt")).withColumn(
+        "op", F.lit("update")
+    )
+    table.merge(out, op_col="op")
 
 
 def persist_summary(
@@ -141,13 +290,18 @@ def persist_summary(
 
 
 def persist_log(table: LakeTable, rows: list[dict]) -> None:
-    """Append a batch of per-stage log rows in one write."""
+    """Upsert a batch of per-stage log rows in one write.
+
+    MERGE requires one row per key, so duplicate (run_id, table_family,
+    stage) entries are collapsed keeping the LAST — a stage retried within
+    one run records its final status."""
     if not rows:
         return
+    by_key = {(r["run_id"], r["table_family"], r["stage"]): r for r in rows}
     df = table.spark.createDataFrame(
         [
             tuple(r.get(c) for c, _ in LOG_SCHEMA)
-            for r in rows
+            for r in by_key.values()
         ],
         ", ".join(f"{c} {t}" for c, t in LOG_SCHEMA),
     ).withColumn("op", F.lit("update"))

@@ -16,6 +16,94 @@ def _status(ok: bool) -> str:
     return "SUCCESS" if ok else "FAILED"
 
 
+def summary_from_annotated(
+    ann: DataFrame,
+    compare_cols: list[str],
+    pk_src: DataFrame,
+    pk_tgt: DataFrame,
+    name_type: DataFrame,
+    ordinal: DataFrame,
+    compatibility: DataFrame,
+) -> dict:
+    """All summary statuses from ONE ``.collect()`` of ONE aggregated row.
+
+    Cross-joins the 1-row aggregates (annotated-frame counters + per-column
+    mismatch bits, both PK checks, schema-check failure counts) into a
+    single plan, so the whole summary costs one Spark job instead of the
+    eight the per-DataFrame evaluators issue.  The annotated frame should be
+    persisted by the caller — this is one of its many derivations.
+    """
+    aggs = [
+        F.sum(F.when(F.col("status") == "MATCH", 1).otherwise(0)).alias("matches"),
+        F.sum(F.when(F.col("status") == "MISMATCH", 1).otherwise(0)).alias("mismatches"),
+        F.sum(F.when(F.col("status") == "SRC_EXTRA", 1).otherwise(0)).alias("src_extras"),
+        F.sum(F.when(F.col("status") == "TGT_EXTRA", 1).otherwise(0)).alias("tgt_extras"),
+    ]
+    both = F.col("__s").isNotNull() & F.col("__t").isNotNull()
+    bad_col = F.lit(0)
+    for c in compare_cols:
+        bad_col = bad_col + F.max(
+            F.when(both & ~F.col(f"__eq_{c}"), 1).otherwise(0)
+        )
+    aggs.append(bad_col.alias("mismatched_columns"))
+    wide = ann.agg(*aggs)
+
+    pks = pk_src.select(F.col("pk_violations").alias("src_pk_violations"))
+    pkt = pk_tgt.select(F.col("pk_violations").alias("tgt_pk_violations"))
+    schema_counts = (
+        name_type.agg(
+            F.sum(F.when(F.col("col_name_compare") == "MISMATCH", 1).otherwise(0)).alias("name_bad"),
+            F.sum(F.when(F.col("datatype_compare") == "MISMATCH", 1).otherwise(0)).alias("dtype_bad"),
+        )
+        .crossJoin(
+            ordinal.agg(
+                F.sum(F.when(F.col("ordinal_compare") == "MISMATCH", 1).otherwise(0)).alias("ord_bad")
+            )
+        )
+        .crossJoin(
+            compatibility.agg(
+                F.sum(F.when(~F.col("compatible"), 1).otherwise(0)).alias("compat_bad")
+            )
+        )
+    )
+    row = (
+        wide.crossJoin(pks).crossJoin(pkt).crossJoin(schema_counts)
+        .collect()[0]
+        .asDict()
+    )
+    # empty frames aggregate to NULL sums/maxes
+    for k in row:
+        row[k] = row[k] or 0
+
+    statuses = {
+        "row_count_status": _status(row["src_extras"] == 0 and row["tgt_extras"] == 0),
+        "hash_match_status": _status(
+            row["mismatches"] == 0 and row["src_extras"] == 0 and row["tgt_extras"] == 0
+        ),
+        "data_mismatch_status": _status(row["mismatched_columns"] == 0),
+        "extras_status": _status(row["src_extras"] == 0 and row["tgt_extras"] == 0),
+        "primary_key_compliance_status": _status(
+            row["src_pk_violations"] == 0 and row["tgt_pk_violations"] == 0
+        ),
+        "column_names_status": _status(row["name_bad"] == 0),
+        "ordinal_status": _status(row["ord_bad"] == 0),
+        "datatype_compatibility_status": _status(row["compat_bad"] == 0),
+    }
+    statuses["validation_status"] = _status(
+        all(v == "SUCCESS" for v in statuses.values())
+    )
+    statuses.update(
+        {
+            "matches": row["matches"],
+            "mismatches": row["mismatches"],
+            "src_extras": row["src_extras"],
+            "tgt_extras": row["tgt_extras"],
+            "datatype_mismatch_columns": row["dtype_bad"],
+        }
+    )
+    return statuses
+
+
 def validation_summary(
     reconcile_counts_df: DataFrame,
     pk_src: DataFrame,

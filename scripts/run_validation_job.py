@@ -23,9 +23,12 @@ from pyspark.sql import SparkSession
 
 from data_migration_validator_spark.validation import (
     load_mappings_csv,
+    make_anomaly_table,
     make_column_metrics_table,
     make_log_table,
+    make_pk_table,
     make_summary_table,
+    make_windowed_table,
     run_mappings,
     summary_conjunction,
 )
@@ -44,6 +47,9 @@ def main() -> None:
     summary_t = make_summary_table(spark, f"{args.metrics_root}/summary")
     log_t = make_log_table(spark, f"{args.metrics_root}/log")
     metrics_t = make_column_metrics_table(spark, f"{args.metrics_root}/column_metrics")
+    anomaly_t = make_anomaly_table(spark, f"{args.metrics_root}/anomalies")
+    windowed_t = make_windowed_table(spark, f"{args.metrics_root}/windowed")
+    pk_t = make_pk_table(spark, f"{args.metrics_root}/pk")
 
     run_mappings(
         spark,
@@ -53,6 +59,9 @@ def main() -> None:
         summary_table=summary_t,
         log_table=log_t,
         column_metrics_table=metrics_t,
+        anomaly_table=anomaly_t,
+        windowed_table=windowed_t,
+        pk_table=pk_t,
     )
 
     from pyspark.sql import functions as F

@@ -162,3 +162,99 @@ def test_validation_summary_conjunction(spark, pair):
         type_compatibility(nt, default_compatibility_matrix(spark)),
     )
     assert ok["validation_status"] == "SUCCESS"
+
+
+# ---------------------------------------------------------------------------
+# single-shuffle annotated pipeline (VERDICT r2 ask #3)
+
+
+def test_annotated_derivations_match_standalone_reports(pair):
+    """Every report derived from the annotated frame must equal its
+    standalone (per-report join) counterpart."""
+    from data_migration_validator_spark.validation import (
+        annotated_comparison,
+        column_metrics_from_annotated,
+        counts_from_annotated,
+        extras_from_annotated,
+        mismatch_rows_from_annotated,
+    )
+
+    src, tgt = pair
+    cmp_cols = ["a", "b"]
+    ann = annotated_comparison(src, tgt, ["id"], cmp_cols)
+
+    want = reconcile_counts(src, tgt, ["id"], cmp_cols).collect()[0].asDict()
+    got = counts_from_annotated(ann).collect()[0].asDict()
+    assert got == want
+
+    want_m = {
+        r["column_name"]: r.asDict()
+        for r in column_mismatch_metrics(src, tgt, ["id"], cmp_cols).collect()
+    }
+    got_m = {
+        r["column_name"]: r.asDict()
+        for r in column_metrics_from_annotated(ann, cmp_cols).collect()
+    }
+    assert got_m == want_m
+
+    want_rows = sorted(
+        tuple(r) for r in row_level_mismatches(src, tgt, ["id"], cmp_cols).collect()
+    )
+    got_rows = sorted(
+        tuple(r) for r in mismatch_rows_from_annotated(ann, ["id"], cmp_cols).collect()
+    )
+    assert got_rows == want_rows
+
+    s_only, t_only = extras_from_annotated(ann, ["id"], cmp_cols)
+    assert [r["id"] for r in s_only.collect()] == [10]
+    assert [r["id"] for r in t_only.collect()] == [20]
+
+
+def test_annotated_windowed_matches_standalone(spark):
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", "x"), (2, "2024-01-01", "y"), (3, "2024-01-02", "z")],
+        "id long, d string, v string",
+    )
+    tgt = spark.createDataFrame(
+        [(1, "2024-01-01", "x"), (2, "2024-01-01", "CORRUPT"), (4, "2024-01-02", "w")],
+        "id long, d string, v string",
+    )
+    from data_migration_validator_spark.validation import (
+        annotated_comparison,
+        windowed_from_annotated,
+    )
+
+    ann = annotated_comparison(src, tgt, ["id"], ["d", "v"], date_col="d")
+    want = {
+        str(r["bucket_date"]): r.asDict(recursive=True)
+        for r in windowed_validation(src, tgt, ["id"], "d").collect()
+    }
+    got = {
+        str(r["bucket_date"]): r.asDict(recursive=True)
+        for r in windowed_from_annotated(ann).collect()
+    }
+    assert got == want
+
+
+def test_run_validation_single_join_plan(pair):
+    """The annotated frame is the pipeline's ONE src×tgt join; every derived
+    report reads the persisted frame (InMemoryTableScan) and contains no
+    further join of the pair."""
+    from data_migration_validator_spark.validation import run_validation
+
+    src, tgt = pair
+    reports = run_validation(src, tgt, ["id"], date_col=None)
+    try:
+        ann_plan = reports["annotated"]._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in ann_plan  # the one full-outer join lives here
+        for name in ("reconcile_counts", "column_metrics", "mismatch_rows",
+                     "src_extras_rows", "tgt_extras_rows"):
+            plan = reports[name]._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, name
+            # InMemoryRelation prints its cached child plan (which rightly
+            # holds the one join); above the cache boundary there must be
+            # no further join of the pair.
+            above_cache = plan.split("InMemoryRelation", 1)[0]
+            assert "Join" not in above_cache, name
+    finally:
+        reports["annotated"].unpersist()
