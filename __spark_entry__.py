@@ -690,6 +690,58 @@ def q_validation_summary(spark, sf_dir):
         return out
 
 
+def q_anomaly_rows(spark, sf_dir):
+    """Persisted anomaly/mismatch-row store round-trip (conf/constants.py:
+    51-69 ``__anomalies``/``__mismatch_data`` families; writes
+    migration-data-validation.py:1228-1241, 1351-1364): run the pipeline on
+    the src/tgt orders pair, persist every non-MATCH row into the durable
+    anomaly LakeTable via run_mappings, then read the table BACK and
+    aggregate per status — the dashboard's anomaly browser source."""
+    import tempfile
+
+    from data_migration_validator_spark.validation import (
+        TableMapping,
+        make_anomaly_table,
+        run_mappings,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        anomaly_t = make_anomaly_table(spark, f"{tmp}/anomalies")
+        frames = {
+            "orders_src": _src_orders(spark, sf_dir),
+            "orders_tgt": _tgt_orders(spark, sf_dir),
+        }
+        run_mappings(
+            spark,
+            [TableMapping("orders", "orders_src", "orders_tgt", ["o_orderkey"])],
+            resolve=lambda n: frames[n],
+            run_id="r1",
+            anomaly_table=anomaly_t,
+        )
+        stored = anomaly_t.read()
+        out = (
+            stored.select(
+                "status",
+                F.get_json_object("key_json", "$.o_orderkey")
+                .cast("bigint")
+                .alias("k"),
+                F.element_at(F.col("row"), "o_orderstatus").alias("ost"),
+            )
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("k").alias("n_keys"),
+                F.min("k").alias("min_key"),
+                F.max("k").alias("max_key"),
+                F.count("ost").alias("n_status_vals"),
+            )
+            .orderBy("status")
+        )
+        # rebuild from collected rows: the tmp-dir table vanishes with the
+        # with-block, and a cache()d plan is not durable.
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -734,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "cdc_replay": q_cdc_replay,
         "validation_summary": q_validation_summary,
+        "anomaly_rows": q_anomaly_rows,
     }
 
 
@@ -1190,5 +1243,36 @@ def oracle_sql() -> dict[str, str]:
                    'SUCCESS' AS datatype_compatibility_status,
                    matches, mismatches, src_extras, tgt_extras
             FROM c, pk
+        """,
+        "anomaly_rows": f"""
+            WITH s AS ({src}), t AS ({tgt}),
+            j AS (
+                SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+                       COALESCE(s.o_orderkey, t.o_orderkey) AS k,
+                       s.o_orderstatus AS s_ost, t.o_orderstatus AS t_ost,
+                       (s.o_custkey IS NOT DISTINCT FROM t.o_custkey
+                        AND s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus
+                        AND s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice
+                        AND s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority) AS eq
+                FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+            ),
+            anom AS (
+                SELECT 'MISMATCH_SRC' AS status, k, s_ost AS ost FROM j
+                 WHERE sk IS NOT NULL AND tk IS NOT NULL AND NOT eq
+                UNION ALL
+                SELECT 'MISMATCH_TGT', k, t_ost FROM j
+                 WHERE sk IS NOT NULL AND tk IS NOT NULL AND NOT eq
+                UNION ALL
+                SELECT 'SRC_EXTRA', k, s_ost FROM j WHERE tk IS NULL
+                UNION ALL
+                SELECT 'TGT_EXTRA', k, t_ost FROM j WHERE sk IS NULL
+            )
+            SELECT status,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+                   CAST(MIN(k) AS BIGINT) AS min_key,
+                   CAST(MAX(k) AS BIGINT) AS max_key,
+                   CAST(COUNT(ost) AS BIGINT) AS n_status_vals
+            FROM anom GROUP BY status ORDER BY status
         """,
     }

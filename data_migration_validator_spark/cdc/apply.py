@@ -130,23 +130,11 @@ def apply_batch(
     if batch_id is not None and table.has_batch(batch_id):
         return {"skipped": True, "batch_id": batch_id}
 
-    # 1. schema evolution events (rare; tiny driver-side collect).  The
-    #    sort happens driver-side: an orderBy here would add a whole extra
-    #    range-partition SAMPLING scan of the batch just to sort a handful
-    #    of rows.
-    sc_rows = (
-        events.filter(F.col("schema_change").isNotNull())
-        .select("event_seq", "schema_change")
-        .collect()
-    )
-    sc_rows.sort(key=lambda r: r["event_seq"])
-    schema_applied = _apply_schema_changes(
-        table, [json.loads(r["schema_change"]) for r in sc_rows]
-    )
-
-    # 2. DML: salted last-writer-wins dedup.  Persist the deduped change-set
-    #    once — lineage aggregation and every MERGE action reuse it instead
-    #    of re-running the salted two-phase shuffle.
+    # 1. DML: salted last-writer-wins dedup (schema-agnostic — it works on
+    #    the fixed event payload names, so it can be BUILT before schema
+    #    changes are known).  Persist the deduped change-set once — every
+    #    downstream action reuses it instead of re-running the salted
+    #    two-phase shuffle.
     dml = events.filter(F.col("op").isin("insert", "update", "delete"))
     deduped = dedup_last_writer_wins(
         dml.select("event_seq", "op", "repo", "path", "commit", "lang", "content"),
@@ -154,29 +142,70 @@ def apply_batch(
         salt_buckets=salt_buckets,
     ).persist()
     try:
+        # 2. ONE combined driver action per batch: per-bucket stats over the
+        #    deduped change-set (they feed the MERGE's touched-bucket
+        #    discovery + broadcast decision AND the lineage rows) unioned
+        #    with the batch's rare schema-change events.  Fusing the three
+        #    former collects (schema scan, bucket stats, lineage agg) into
+        #    one job matters at high batch rates: each extra action is a
+        #    fixed driver/planning cost that no executor count can shrink —
+        #    exactly the serial term the N→4N scaling gate punishes.  This
+        #    action also populates the ``deduped`` cache for the write.
+        bucket_stats_df = (
+            deduped.withColumn("__bucket", table.bucket_expr())
+            .groupBy("__bucket")
+            .agg(
+                F.min("event_seq").alias("first_event_seq"),
+                F.max("event_seq").alias("last_event_seq"),
+                F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("n_up"),
+                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_del"),
+            )
+            .select(
+                F.lit("stats").alias("kind"),
+                "__bucket", "first_event_seq", "last_event_seq", "n_up", "n_del",
+                F.lit(None).cast("string").alias("schema_change"),
+            )
+        )
+        schema_df = events.filter(F.col("schema_change").isNotNull()).select(
+            F.lit("schema").alias("kind"),
+            F.lit(None).cast("int").alias("__bucket"),
+            F.col("event_seq").alias("first_event_seq"),
+            F.lit(None).cast("long").alias("last_event_seq"),
+            F.lit(None).cast("long").alias("n_up"),
+            F.lit(None).cast("long").alias("n_del"),
+            "schema_change",
+        )
+        combined = bucket_stats_df.unionByName(schema_df).collect()
+        bucket_stats = [r for r in combined if r["kind"] == "stats"]
+        sc_rows = sorted(
+            (r for r in combined if r["kind"] == "schema"),
+            key=lambda r: r["first_event_seq"],
+        )
+
+        # 3. schema evolution (rare; applied driver-side, BEFORE the change
+        #    projection below is constructed against the current schema).
+        schema_applied = _apply_schema_changes(
+            table, [json.loads(r["schema_change"]) for r in sc_rows]
+        )
+
+        lineage_rows = bucket_stats if lineage is not None else None
+
         changes = _project_to_table(table, deduped, op_col="op")
 
-        # 3. per-bucket lineage pre-aggregation (one small agg on the cache)
-        lineage_rows = None
-        if lineage is not None:
-            lineage_rows = (
-                deduped.withColumn("__bucket", table.bucket_expr())
-                .groupBy("__bucket")
-                .agg(
-                    F.min("event_seq").alias("first_event_seq"),
-                    F.max("event_seq").alias("last_event_seq"),
-                    F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("rows_upserted"),
-                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_delete_requested"),
-                )
-                .collect()
-            )
-
-        # 4. MERGE (exactly-once marker written inside).  Exact-delete
-        #    accounting (semi-join vs existing) is skipped on the hot path —
-        #    the stats then carry only rows_delete_requested, never an
-        #    approximate value under the exact stat's name.
+        # 4. MERGE (exactly-once marker written inside) — bucket stats are
+        #    handed over, so the write is the batch's only other action.
+        #    Exact-delete accounting (semi-join vs existing) is skipped on
+        #    the hot path — the stats then carry only rows_delete_requested,
+        #    never an approximate value under the exact stat's name.
         stats = table.merge(
-            changes, op_col="op", batch_id=batch_id, count_deletes=count_deletes
+            changes,
+            op_col="op",
+            batch_id=batch_id,
+            count_deletes=count_deletes,
+            bucket_stats=[
+                {"__bucket": r["__bucket"], "n_up": r["n_up"], "n_del": r["n_del"]}
+                for r in bucket_stats
+            ],
         )
     finally:
         deduped.unpersist()
@@ -193,8 +222,8 @@ def apply_batch(
                     int(r["__bucket"]),
                     int(r["first_event_seq"]),
                     int(r["last_event_seq"]),
-                    int(r["rows_upserted"]),
-                    int(r["rows_delete_requested"]),
+                    int(r["n_up"]),
+                    int(r["n_del"]),
                     latency_ms,
                     now,
                 )

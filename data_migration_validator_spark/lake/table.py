@@ -49,6 +49,18 @@ from .schema import TableSchema
 _MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
 
 
+def _should_broadcast(
+    n_changes: int, broadcast_changes: bool | None, broadcast_max_rows: int
+) -> bool:
+    """MERGE's size-aware anti-join strategy: hint broadcast only when the
+    change-set is known-small (or the caller forces it); a big batch
+    (backfill, initial load) must shuffle instead of OOMing the driver.
+    Kept as a pure function so the decision matrix is plan-tested."""
+    if broadcast_changes is not None:
+        return broadcast_changes
+    return n_changes <= broadcast_max_rows
+
+
 def _manifest_rows(m: dict) -> int:
     """Live row count of one manifest: per-bucket observed counts, with a
     per-file fallback for manifests written before bucket_rows existed."""
@@ -368,6 +380,7 @@ class LakeTable:
         broadcast_changes: bool | None = None,
         count_deletes: bool = True,
         broadcast_max_rows: int = 500_000,
+        bucket_stats: list[dict] | None = None,
     ) -> dict:
         """Copy-on-write MERGE of a pre-deduped change-set.
 
@@ -391,6 +404,11 @@ class LakeTable:
         ``rows_deleted`` is the EXACT count (delete keys actually present)
         only when ``count_deletes=True``; otherwise it is omitted and only
         ``rows_delete_requested`` is reported.
+
+        ``bucket_stats``: optional precomputed per-bucket
+        ``{__bucket, n_up, n_del}`` rows (e.g. from ``cdc.apply_batch``'s
+        fused per-batch stats job).  When given, the discovery aggregation
+        is skipped — the write becomes this call's only Spark action.
         """
         if batch_id is not None and self.has_batch(batch_id):
             return {"skipped": True, "batch_id": batch_id}
@@ -402,15 +420,16 @@ class LakeTable:
         # full-DAG) to O(1 DAG + tiny cached scans) per batch.
         changes = changes.withColumn("__bucket", self.bucket_expr()).persist()
         try:
-            # ONE aggregation action yields touched buckets + upsert count.
-            bucket_stats = (
-                changes.groupBy("__bucket")
-                .agg(
-                    F.sum(F.when(F.col(op_col) != delete_value, 1).otherwise(0)).alias("n_up"),
-                    F.sum(F.when(F.col(op_col) == delete_value, 1).otherwise(0)).alias("n_del"),
+            if bucket_stats is None:
+                # ONE aggregation action yields touched buckets + upsert count.
+                bucket_stats = (
+                    changes.groupBy("__bucket")
+                    .agg(
+                        F.sum(F.when(F.col(op_col) != delete_value, 1).otherwise(0)).alias("n_up"),
+                        F.sum(F.when(F.col(op_col) == delete_value, 1).otherwise(0)).alias("n_del"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
             touched = [int(r["__bucket"]) for r in bucket_stats]
             rows_upserted = int(sum(r["n_up"] for r in bucket_stats))
             deletes_requested = int(sum(r["n_del"] for r in bucket_stats))
@@ -422,9 +441,7 @@ class LakeTable:
             if touched_has_files:
                 change_keys = changes.select(*keys)
                 n_changes = rows_upserted + deletes_requested
-                if broadcast_changes is True or (
-                    broadcast_changes is None and n_changes <= broadcast_max_rows
-                ):
+                if _should_broadcast(n_changes, broadcast_changes, broadcast_max_rows):
                     change_keys = F.broadcast(change_keys)
                 survivors = existing.join(change_keys, on=keys, how="left_anti")
             else:
@@ -603,7 +620,7 @@ class LakeTable:
     # snapshot expiry / vacuum (reference S16 DROP/purge,
     # migration-data-validation.py:1687-1699)
     # ------------------------------------------------------------------ #
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1, min_age_s: float = 0.0) -> dict:
         """Drop manifest versions older than the newest ``keep_last`` and
         delete data files referenced only by the expired versions.
 
@@ -612,12 +629,28 @@ class LakeTable:
         retained manifest survive (time-travel over the retained window
         stays valid).  Returns {manifests_removed, files_removed,
         bytes_reclaimed}.
+
+        Concurrency contract: vacuum assumes a SINGLE writer (the same
+        assumption every manifest-swap commit here makes), but readers may
+        be concurrent — a reader that resolved an older manifest could still
+        be scanning files this call would delete.  ``min_age_s`` is the
+        grace period for that race: an otherwise-expired manifest younger
+        than ``min_age_s`` is retained (files and all) this cycle, so any
+        reader that planned its scan within the window keeps its files.  Set
+        it comfortably above the longest expected query wall (the same
+        contract as Iceberg's ``expireSnapshots(olderThan=...)``); the
+        default 0 is only safe with no concurrent readers.
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         mdir = os.path.join(self.root, "_manifest")
         versions = sorted(glob.glob(os.path.join(mdir, "v*.json")))
         expired, kept = versions[:-keep_last], versions[-keep_last:]
+        if min_age_s > 0 and expired:
+            cutoff = time.time() - min_age_s
+            young = [p for p in expired if os.path.getmtime(p) >= cutoff]
+            expired = [p for p in expired if os.path.getmtime(p) < cutoff]
+            kept = young + kept
         live: set[str] = set()
         for mp in kept:
             with open(mp) as f:

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from itertools import chain
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Teradata DBC.ColumnsV ColumnType codes → type names
@@ -169,13 +169,31 @@ def normalize_metadata(df: DataFrame, dialect: str, side: str) -> DataFrame:
     shape ``(col_name, data_type, col_order, side)`` so any warehouse's
     metadata feeds the same ordinal/name/type/compatibility joins.
     Teradata frames must pass through :func:`decode_teradata_types` first
-    (it supplies the decoded ``data_type``)."""
+    (it supplies the decoded ``data_type``).
+
+    When the dialect frame has no ordinal column (a bare DESC-output shape:
+    the reference captures it with row_number over
+    monotonically_increasing_id, databricks-extract.py:86-117), the ordinal
+    is recovered Spark-side the same way — from the frame's arrival order.
+    Schema frames are a few hundred rows, so the single-partition window is
+    the right altitude (coalesce(1) makes the global order explicit rather
+    than relying on partition count)."""
     if dialect not in _DIALECT_COLS:
         raise ValueError(f"unknown dialect {dialect!r}")
     name_c, type_c, ord_c = _DIALECT_COLS[dialect]
+    if ord_c in df.columns:
+        order = F.col(ord_c).cast("int")
+    else:
+        w = Window.orderBy("__mono")
+        df = (
+            df.coalesce(1)
+            .withColumn("__mono", F.monotonically_increasing_id())
+            .withColumn("__ord", F.row_number().over(w))
+        )
+        order = F.col("__ord").cast("int")
     return df.select(
         F.lower(F.col(name_c)).alias("col_name"),
         F.lower(F.col(type_c)).alias("data_type"),
-        F.col(ord_c).cast("int").alias("col_order"),
+        order.alias("col_order"),
         F.lit(side).alias("side"),
     )

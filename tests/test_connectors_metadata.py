@@ -95,3 +95,29 @@ def test_normalize_rejects_unknown_dialect(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         normalize_metadata(df, "db2", "src")
+
+
+def test_normalize_recovers_ordinal_from_desc_shaped_frame(spark):
+    """W1: a dialect frame WITHOUT its ordinal column (bare DESC output,
+    databricks-extract.py:86-117) gets a Spark-side row_number-over-
+    monotonically_increasing_id ordinal in arrival order, and the ordinal
+    join works against a catalog frame that does carry positions."""
+    desc = spark.createDataFrame(
+        [("id", "bigint"), ("name", "varchar"), ("amt", "double")],
+        "COLUMN_NAME string, DATA_TYPE string",  # no ORDINAL_POSITION
+    )
+    src = normalize_metadata(desc, "mssql", "src")
+    got = {r["col_name"]: r["col_order"] for r in src.collect()}
+    assert got == {"id": 1, "name": 2, "amt": 3}
+    assert src.columns == ["col_name", "data_type", "col_order", "side"]
+
+    tgt = normalize_metadata(
+        spark.createDataFrame(
+            [("id", "bigint", 1), ("amt", "double", 2), ("name", "varchar", 3)],
+            "COLUMN_NAME string, DATA_TYPE string, ORDINAL_POSITION int",
+        ),
+        "mssql",
+        "tgt",
+    )
+    ords = {r["col_order"]: r["ordinal_compare"] for r in ordinal_check(src, tgt).collect()}
+    assert ords[1] == "MATCH" and ords[2] == "MISMATCH" and ords[3] == "MISMATCH"

@@ -166,3 +166,38 @@ def test_pending_batches(spark, tmp_root):
     assert pending_batches(t, events_dir) == [2, 3]
     replay(t, events_dir)
     assert pending_batches(t, events_dir) == []
+
+
+def test_expire_snapshots_grace_period_protects_recent_manifests(spark, tmp_root):
+    """min_age_s: an expired-but-young manifest (and its files) survives the
+    vacuum cycle, so a concurrent reader holding it keeps its scan valid;
+    with the grace elapsed, a second vacuum reclaims it."""
+    import glob as g
+
+    t = _mk(spark, tmp_root)
+    for i in range(3):
+        ch = spark.createDataFrame(
+            [("r1", "a", f"g{i}", "py", f"w{i}", "update")],
+            "repo string, path string, commit string, lang string, content string, op string",
+        )
+        t.merge(ch, batch_id=300 + i)
+    n_before = len(t.history())
+    all_files = set(g.glob(os.path.join(t.root, "data", "**", "*.parquet"), recursive=True))
+
+    # every manifest is seconds old → all protected by a 1h grace
+    stats = t.expire_snapshots(keep_last=1, min_age_s=3600)
+    assert stats["manifests_removed"] == 0 and stats["files_removed"] == 0
+    assert len(t.history()) == n_before
+    still = set(g.glob(os.path.join(t.root, "data", "**", "*.parquet"), recursive=True))
+    assert still == all_files
+
+    # age the old manifests past the grace → next cycle reclaims
+    mdir = os.path.join(t.root, "_manifest")
+    for p in sorted(g.glob(os.path.join(mdir, "v*.json")))[:-1]:
+        os.utime(p, (1, 1))
+    stats2 = t.expire_snapshots(keep_last=1, min_age_s=3600)
+    assert stats2["manifests_removed"] == n_before - 1
+    assert stats2["files_removed"] > 0
+    live = {os.path.join(t.root, f["path"]) for f in t.manifest["files"]}
+    after = set(g.glob(os.path.join(t.root, "data", "**", "*.parquet"), recursive=True))
+    assert after == live
