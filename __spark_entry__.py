@@ -476,6 +476,25 @@ def q_knn_bruteforce(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN in probe-all mode (n_probe == n_centroids), which is provably
+    exact — every corpus vector lands in exactly one centroid list and every
+    list is probed, so the candidate set is the full corpus.  The oracle
+    therefore checks the whole IVF pipeline (k-means training, Arrow matmul
+    assignment, list-keyed join, ranking) against plain SQL; the
+    approximation knob (n_probe < n_centroids) is recall-tested in
+    tests/test_operators.py."""
+    from data_migration_validator_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk(
+        e, queries, "vec_id", "embedding", k=5,
+        n_centroids=8, n_probe=8, train_sample=512, seed=42,
+    )
+    return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only check:
     the xxhash64 family has no DuckDB equivalent)."""
@@ -685,9 +704,10 @@ def q_validation_summary(spark, sf_dir):
             "src_extras",
             "tgt_extras",
         )
-        out = out.cache()
-        out.count()  # materialize before tmp dir vanishes
-        return out
+        # Rebuild from collected rows (one summary row): cache() is not
+        # durable — an evicted partition would recompute from the deleted
+        # tmp-dir table path.
+        return spark.createDataFrame(out.collect(), out.schema)
 
 
 def q_anomaly_rows(spark, sf_dir):
@@ -777,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "embedding_norms": q_embedding_norms,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -806,7 +827,7 @@ def _widen_pairs_values():
 def oracle_sql() -> dict[str, str]:
     src = _SRC_SQL
     tgt = _TGT_SQL
-    return {
+    sqls = {
         "projection_sentinel": """
             SELECT o_orderkey, o_orderstatus AS status,
                    'THIS COLUMN DOES NOT EXIST IN TGT' AS ghost
@@ -1276,3 +1297,7 @@ def oracle_sql() -> dict[str, str]:
             FROM anom GROUP BY status ORDER BY status
         """,
     }
+    # Probe-all IVF is exactly brute force (see q_knn_ivf docstring), so it
+    # shares the exact-cosine oracle.
+    sqls["knn_ivf"] = sqls["knn_bruteforce"]
+    return sqls

@@ -20,7 +20,9 @@ from .projection import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
+    train_coarse_quantizer,
 )
 from .text import (  # noqa: F401
     document_fingerprint,

@@ -10,10 +10,16 @@
   hash tables trade recall for cost.
 - :func:`cosine_near_dup_pairs` — embedding-cosine near-duplicate detection
   (dedup use-case): LSH-bucketed self-join + threshold.
+- :func:`ivf_topk` — IVF (inverted-file) ANN: a k-means coarse quantizer
+  trained on a bounded deterministic sample partitions the corpus into
+  centroid lists; each query probes only its ``n_probe`` nearest lists.
+  Complements LSH: data-adaptive buckets, tunable recall via n_probe.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -191,4 +197,117 @@ def cosine_near_dup_pairs(
         .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# IVF (inverted-file) approximate nearest neighbor
+# --------------------------------------------------------------------------- #
+def train_coarse_quantizer(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """K-means coarse quantizer on a BOUNDED deterministic sample.
+
+    The sample (``train_sample`` rows, xxhash64-ranked so it is seed-stable
+    and independent of partitioning) is the only thing that ever reaches the
+    driver — at 100 TB the training cost is constant, not data-scale.
+    Vectors are L2-normalized before clustering so Euclidean k-means
+    optimizes the cosine geometry the search uses.  Returns the centroid
+    matrix as a plain list-of-lists (rows L2-normalized).
+    """
+    sample = (
+        corpus.select(F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        # cosine assignment == argmax dot on normalized rows
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent.tolist()
+
+
+def _nearest_lists_udf(centroids, n_probe: int):
+    """Arrow-vectorized assignment: embedding batch → n_probe nearest
+    centroid ids (one matmul per Arrow batch; no per-row Python)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(C))
+
+    @pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return nearest
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: output shape = :func:`brute_force_topk`.
+
+    Scale shape: corpus vectors are assigned to their single nearest
+    centroid list (one Arrow matmul pass, shuffle keyed by ``list_id`` —
+    at 1000 executors each list is a co-located partition family); queries
+    explode to their ``n_probe`` nearest lists and equi-join, so per-query
+    work is ``n_probe/n_centroids`` of the corpus instead of all of it.
+    Exact cosine ranks candidates inside the probed lists.  Recall rises
+    with n_probe (n_probe == n_centroids degrades to exact brute force).
+    """
+    if centroids is None:
+        centroids = train_coarse_quantizer(
+            corpus, id_col, vec_col, n_centroids, train_sample, seed=seed
+        )
+    assign1 = _nearest_lists_udf(centroids, 1)
+    probe = _nearest_lists_udf(centroids, n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("list_id", F.element_at(assign1(F.col("__cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("list_id", F.explode(probe(F.col("__qv"))))
+
+    cand = (
+        c.join(q, on="list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

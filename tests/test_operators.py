@@ -224,6 +224,32 @@ def test_lsh_topk_recall_against_brute_force(vectors):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_against_brute_force(vectors):
+    """IVF with a trained coarse quantizer recovers most exact neighbors;
+    probing every list degrades to exact (recall 1.0)."""
+    from data_migration_validator_spark.operators import ivf_topk, train_coarse_quantizer
+
+    queries = vectors.filter("vec_id < 4")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vectors, queries, k=3).collect()
+    }
+    cents = train_coarse_quantizer(vectors, n_centroids=4, train_sample=64, seed=1)
+    assert len(cents) == 4 and all(len(c) == 4 for c in cents)
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vectors, queries, k=3, n_probe=2, centroids=cents).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vectors, queries, k=3, n_probe=4, centroids=cents).collect()
+    }
+    assert full == exact  # probe-all == brute force
+
+
 def test_cosine_near_dup_pairs(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
