@@ -8,9 +8,12 @@ reports events/sec at both plus scaling efficiency =
 Usage:
     python scripts/scaling_bench.py [n_events] [low_cores] [high_cores]
 
-Env knobs: SCALING_REPEATS (interleaved repeats, min-of-k per level,
+Env knobs: SCALING_REPEATS (clean interleaved repeats, min-of-k per level,
 default 3), SCALING_REPOS (key-space breadth, default 5000),
-SCALING_BATCHES (micro-batches; 1 = one big batch, default 4).
+SCALING_BATCHES (micro-batches; 1 = one big batch, default 4),
+SCALING_MAX_STEAL (co-tenant steal fraction above which a leg is discarded
+as storm-dirty, default 0.05), SCALING_MAX_DIRTY_FACTOR (attempt budget =
+repeats x this, default 4).
 
 Choosing the core pair: measure the HOST's parallel-CPU ceiling first
 (``scripts/host_ceiling.py``; BASELINE.md records the measured sweep) —
@@ -108,18 +111,42 @@ print("GEN_OK")
 """
 
 
-def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 600) -> None:
-    """Gate each leg on 1-min loadavg: the sandbox host has uncontrolled
-    external load spikes that inflate walls several-fold; starting a leg
-    into a storm wastes the repeat.  Mid-leg spikes remain possible — the
-    min-of-k estimator absorbs those."""
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def steal_fraction(window_s: float = 3.0) -> float:
+    """Fraction of CPU time stolen by OTHER tenants of the physical host
+    over a short window.  This VM's loadavg cannot see co-tenant storms
+    (their load is not on our runqueue — our threads just silently run
+    slower); /proc/stat's steal ticks are the direct signal.  Measured
+    storms here reach >50% steal and inflate identical legs 5-10x."""
+    import time as _time
+
+    s0, t0 = _cpu_ticks()
+    _time.sleep(window_s)
+    s1, t1 = _cpu_ticks()
+    return (s1 - s0) / max(1, t1 - t0)
+
+
+def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 600,
+                   max_steal: float = 0.05) -> None:
+    """Gate each leg on 1-min loadavg (our own stragglers) AND a sampled
+    steal fraction (co-tenant storms).  Mid-leg storms remain possible —
+    each leg's steal is measured across its whole run and dirty legs are
+    discarded (see main)."""
     import time as _time
 
     deadline = _time.monotonic() + timeout_s
     while _time.monotonic() < deadline:
         with open("/proc/loadavg") as f:
             load1 = float(f.read().split()[0])
-        if load1 <= max_load:
+        if load1 <= max_load and steal_fraction(3.0) <= max_steal:
             return
         _time.sleep(10)
 
@@ -164,24 +191,56 @@ def main():
         events_dir = os.path.join(tmp, "events")
         spark_submit(32, GEN, [str(n_events), events_dir, str(n_repos), str(n_batches)])
 
-        # The sandbox host has uncontrolled external load spikes (identical
-        # runs vary several-fold), so interleave the two levels and take the
-        # best run per level — min wall is the standard noise-robust estimator.
+        # The physical host is shared: co-tenant storms steal >50% CPU and
+        # inflate identical legs 5-10x, invisibly to loadavg.  Protocol:
+        # interleave the two levels; measure each leg's steal fraction
+        # across its whole wall; a leg with steal > max_steal is DIRTY and
+        # does not count toward `repeats` (retried, up to a cap).  Estimate
+        # = min wall over clean legs — together, "min over certified-quiet
+        # runs" rather than hoping k repeats caught a quiet window.
+        max_steal = float(os.environ.get("SCALING_MAX_STEAL", "0.05"))
+        max_load = float(os.environ.get("SCALING_MAX_LOAD", "3.0"))
+        max_attempts = repeats * int(os.environ.get("SCALING_MAX_DIRTY_FACTOR", "4"))
         runs: dict[int, list[dict]] = {low: [], high: []}
-        for _ in range(repeats):
+        dirty: dict[int, int] = {low: 0, high: 0}
+        attempts = 0
+        while (
+            min(len(runs[low]), len(runs[high])) < repeats
+            and attempts < max_attempts
+        ):
+            attempts += 1
             for cores in (low, high):
-                wait_for_quiet(float(os.environ.get("SCALING_MAX_LOAD", "3.0")))
+                if len(runs[cores]) >= repeats:
+                    continue
+                wait_for_quiet(max_load, max_steal=max_steal)
+                s0, t0 = _cpu_ticks()
                 stdout = spark_submit(
                     cores, DRIVER, [str(n_events), str(cores), events_dir,
                     str(n_repos), str(n_batches)]
                 )
+                s1, t1 = _cpu_ticks()
+                leg_steal = (s1 - s0) / max(1, t1 - t0)
                 line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][0]
-                runs[cores].append(json.loads(line[len("RESULT "):]))
+                r = json.loads(line[len("RESULT "):])
+                r["steal"] = round(leg_steal, 4)
+                if leg_steal > max_steal:
+                    dirty[cores] += 1
+                    continue
+                runs[cores].append(r)
+        for c in (low, high):
+            if not runs[c]:
+                raise SystemExit(
+                    f"no clean leg at {c} cores after {max_attempts} attempts "
+                    f"({dirty[c]} storm-dirty); raise SCALING_MAX_DIRTY_FACTOR "
+                    "or rerun when the host calms down"
+                )
         results = {
             c: min(rs, key=lambda r: r["wall_s"]) for c, rs in runs.items()
         }
         for c in (low, high):
             results[c]["all_wall_s"] = [r["wall_s"] for r in runs[c]]
+            results[c]["all_steal"] = [r["steal"] for r in runs[c]]
+            results[c]["dirty_legs_discarded"] = dirty[c]
             results[c]["verified"] = all(r["verified"] for r in runs[c])
 
     r_lo, r_hi = results[low], results[high]
