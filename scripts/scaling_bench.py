@@ -12,16 +12,43 @@ Env knobs: SCALING_REPEATS (clean interleaved repeats, min-of-k per level,
 default 3), SCALING_REPOS (key-space breadth, default 5000),
 SCALING_BATCHES (micro-batches; 1 = one big batch, default 4),
 SCALING_MAX_STEAL (co-tenant steal fraction above which a leg is discarded
-as storm-dirty, default 0.05), SCALING_MAX_DIRTY_FACTOR (attempt budget =
-repeats x this, default 4).
+as storm-dirty, default 0.05), SCALING_MIN_CANARY (fraction of the quiet
+canary reference below which a leg is memory-storm-dirty, default 0.5),
+SCALING_MAX_DIRTY_FACTOR (attempt budget = repeats x this, default 4).
+
+Host-noise model (measured on this sandbox; both modes are co-tenant
+interference on the shared physical box):
+
+1. STEAL STORMS — co-tenants pin the physical cores; /proc/stat steal
+   jumps past 50% and identical legs inflate 5-10x.  Detected by the
+   per-leg steal fraction.
+2. KERNEL/MEMORY STORMS — steal stays under 5% but the memory subsystem
+   collapses: an anonymous 128 MB page-touch that takes ~0.1s quiet was
+   measured taking 20s+ of pure sys time mid-storm (~200x).  Spark's
+   shuffle/parquet work is memory-heavy and inflates 1.5-5x, while
+   loadavg and steal look clean.  Detected by an in-leg CANARY thread
+   sampling the anonymous-mmap page-touch rate every ~6s; a leg whose
+   slowest sample drops below SCALING_MIN_CANARY x the quiet reference is
+   discarded.  (A 64 MB streaming-sum rate is recorded as a diagnostic but
+   not gated on — the leg's own memory traffic depresses it ~40% even on a
+   quiet host, while the page-touch rate is immune to own-load and
+   collapses ~200x in a storm.)
+
+Protocol per leg: gate on loadavg + steal + instantaneous canary, run the
+leg in a fresh spark-submit with an untimed warm-up replay (JIT/codegen paid
+outside the timed region), sample the canary throughout, then certify.
+Estimate = min wall over certified-clean legs, interleaved across levels.
+Row-level verification (hash_reconcile vs the batch oracle) runs on the
+FIRST clean leg per level only — the job and input are deterministic, so
+repeat legs reuse that verdict and keep their storm-exposure window short.
 
 Choosing the core pair: measure the HOST's parallel-CPU ceiling first
 (``scripts/host_ceiling.py``; BASELINE.md records the measured sweep) —
 the N→4N pair must sit inside the host's linear region or the measurement
 reports the box's SMT/memory-bandwidth rolloff, not the job's scaling.
-On this sandbox 1→4 sits comfortably inside the linear region; 8→32 is
-capped well below 0.8 for ANY workload (embarrassingly-parallel
-arithmetic included — see the sweep).
+On this sandbox 1→4 sits at pure-CPU efficiency ~1.0 (BASELINE.md sweep);
+8→32 rolls off (0.64-0.83 depending on co-tenant load), so the committed
+pair is 1→4.
 """
 
 from __future__ import annotations
@@ -31,20 +58,20 @@ import os
 import subprocess
 import sys
 import tempfile
+import threading
+import time
 
 DRIVER = r"""
 import json, sys, tempfile, time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from data_migration_validator_spark.cdc.events import change_events, write_events_batched
-from data_migration_validator_spark.cdc.oracle import expected_final_state
-from data_migration_validator_spark.cdc.replay import replay
+from data_migration_validator_spark.cdc.replay import replay, pending_batches
 from data_migration_validator_spark.lake.table import LakeTable
-from data_migration_validator_spark.validation.reconcile import hash_reconcile
 
 import os
 n_events, cores, events_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-n_repos, n_batches = int(sys.argv[4]), int(sys.argv[5])
+n_repos, n_batches, verify = int(sys.argv[4]), int(sys.argv[5]), sys.argv[6] == "1"
 workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm")
 # IDENTICAL job at both parallelism levels: same shuffle partitioning, same
 # bucket count, same input — only the executor-thread count differs.
@@ -77,19 +104,29 @@ with tempfile.TemporaryDirectory(dir=workdir) as tmp:
         spark, f"{tmp}/repo_content", SCHEMA,
         key_cols=["repo", "path"], bucket_col="repo", num_buckets=32,
     )
+    bids = pending_batches(table, events_dir)
+    batch_walls = []
     t0 = time.monotonic()
-    stats = replay(table, events_dir)
+    for bid in bids:
+        tb = time.monotonic()
+        replay(table, events_dir, batch_ids=[bid])
+        batch_walls.append(round(time.monotonic() - tb, 2))
     wall = time.monotonic() - t0
-    ev = change_events(spark, n_events=n_events, n_repos=n_repos,
-                       paths_per_repo=2000, seed=42,
-                       batch_size=max(1, n_events // n_batches))
-    rec = hash_reconcile(table.read(), expected_final_state(ev),
-                         ["repo", "path"], ["commit", "lang", "content"])
-    bad = rec.filter(F.col("status") != "MATCH").count()
+    bad = -1  # verification skipped (repeat leg reuses first leg's verdict)
+    if verify:
+        from data_migration_validator_spark.cdc.oracle import expected_final_state
+        from data_migration_validator_spark.validation.reconcile import hash_reconcile
+        ev = change_events(spark, n_events=n_events, n_repos=n_repos,
+                           paths_per_repo=2000, seed=42,
+                           batch_size=max(1, n_events // n_batches))
+        rec = hash_reconcile(table.read(), expected_final_state(ev),
+                             ["repo", "path"], ["commit", "lang", "content"])
+        bad = rec.filter(F.col("status") != "MATCH").count()
     print("RESULT " + json.dumps({
         "cores": cores, "events": n_events, "wall_s": round(wall, 2),
         "events_per_sec": round(n_events / wall, 1),
-        "batches": stats["batches_applied"], "verified": bad == 0,
+        "batches": len(batch_walls), "batch_walls": batch_walls,
+        "verified": (bad == 0) if verify else None,
     }))
 """
 
@@ -126,29 +163,129 @@ def steal_fraction(window_s: float = 3.0) -> float:
     (their load is not on our runqueue — our threads just silently run
     slower); /proc/stat's steal ticks are the direct signal.  Measured
     storms here reach >50% steal and inflate identical legs 5-10x."""
-    import time as _time
-
     s0, t0 = _cpu_ticks()
-    _time.sleep(window_s)
+    time.sleep(window_s)
     s1, t1 = _cpu_ticks()
     return (s1 - s0) / max(1, t1 - t0)
 
 
-def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 600,
-                   max_steal: float = 0.05) -> None:
-    """Gate each leg on 1-min loadavg (our own stragglers) AND a sampled
-    steal fraction (co-tenant storms).  Mid-leg storms remain possible —
-    each leg's steal is measured across its whole run and dirty legs are
-    discarded (see main)."""
-    import time as _time
+# ---------------------------------------------------------------------- #
+# Memory-storm canary: detects co-tenant kernel/memory-subsystem storms
+# that steal ticks can NOT see (measured: 128 MB anonymous page-touch
+# 0.1s quiet vs 20s+ sys-time mid-storm while steal stayed under 4%).
+# Spark legs inflate 1.5-5x in that mode; a register-arithmetic canary
+# stays at full speed, so the canary must stress the MEMORY path.
+# ---------------------------------------------------------------------- #
+_TOUCH_BYTES = 64 * 1024 * 1024
+_PAGE = 4096
 
-    deadline = _time.monotonic() + timeout_s
-    while _time.monotonic() < deadline:
+
+def touch_rate() -> float:
+    """MB/s of anonymous mmap page-fault+zero — the storm-sensitive path."""
+    import mmap
+
+    t0 = time.monotonic()
+    m = mmap.mmap(-1, _TOUCH_BYTES)
+    m[::_PAGE] = b"x" * (_TOUCH_BYTES // _PAGE)
+    dt = time.monotonic() - t0
+    m.close()
+    return (_TOUCH_BYTES / 1e6) / dt
+
+
+_stream_buf = None
+
+
+def stream_rate() -> float:
+    """GB/s of a 64 MB (beyond-LLC) numpy streaming sum."""
+    global _stream_buf
+    import numpy as np
+
+    if _stream_buf is None:
+        _stream_buf = np.ones(8_000_000)
+    t0 = time.monotonic()
+    _stream_buf.sum()
+    return (_stream_buf.nbytes / 1e9) / (time.monotonic() - t0)
+
+
+def canary_sample() -> dict[str, float]:
+    return {"touch": touch_rate(), "stream": stream_rate()}
+
+
+def quiet_reference(k: int = 5) -> dict[str, float]:
+    """Best canary rates over k seconds — the 'quiet host' yardstick.
+    Max (not mean) so a storm during calibration can only make the gate
+    stricter, never looser."""
+    best = {"touch": 0.0, "stream": 0.0}
+    for _ in range(k):
+        s = canary_sample()
+        best = {m: max(best[m], s[m]) for m in best}
+        time.sleep(1)
+    return best
+
+
+class CanaryThread:
+    """Samples the memory canary every ~6s for the duration of a leg."""
+
+    def __init__(self) -> None:
+        self.samples: list[dict[str, float]] = []
+        self._stop = threading.Event()
+        self._th = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self.samples.append(canary_sample())
+            except Exception:
+                pass
+            self._stop.wait(6.0)
+
+    def __enter__(self) -> "CanaryThread":
+        self._th.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._th.join(timeout=3)
+
+    def mins(self) -> dict[str, float]:
+        if not self.samples:
+            return {"touch": 0.0, "stream": 0.0}
+        return {
+            m: min(s[m] for s in self.samples) for m in ("touch", "stream")
+        }
+
+
+def wait_for_quiet(
+    max_load: float = 3.0,
+    timeout_s: int = 900,
+    max_steal: float = 0.05,
+    ref: dict[str, float] | None = None,
+    min_canary: float = 0.6,
+) -> None:
+    """Gate each leg on 1-min loadavg (our own stragglers), a sampled steal
+    fraction (co-tenant CPU storms), and the instantaneous memory canary
+    (co-tenant kernel/memory storms).  Mid-leg storms remain possible —
+    each leg's steal and canary are tracked across its whole run and dirty
+    legs are discarded (see main)."""
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
         with open("/proc/loadavg") as f:
             load1 = float(f.read().split()[0])
-        if load1 <= max_load and steal_fraction(3.0) <= max_steal:
+        if load1 > max_load:
+            time.sleep(10)
+            continue
+        if ref is not None:
+            # Gate on the page-touch canary only: the streaming-sum rate is
+            # depressed ~40% by our OWN leg's memory traffic (and by the
+            # co-running generator), so it would false-flag healthy legs;
+            # page-touch stays at full rate under own load (measured) while
+            # collapsing ~200x in a storm — it is the discriminator.
+            if canary_sample()["touch"] < min_canary * ref["touch"]:
+                time.sleep(10)
+                continue
+        if steal_fraction(3.0) <= max_steal:
             return
-        _time.sleep(10)
+        time.sleep(10)
 
 
 def spark_submit(cores: int, script: str, args: list[str]) -> str:
@@ -191,18 +328,23 @@ def main():
         events_dir = os.path.join(tmp, "events")
         spark_submit(32, GEN, [str(n_events), events_dir, str(n_repos), str(n_batches)])
 
-        # The physical host is shared: co-tenant storms steal >50% CPU and
-        # inflate identical legs 5-10x, invisibly to loadavg.  Protocol:
-        # interleave the two levels; measure each leg's steal fraction
-        # across its whole wall; a leg with steal > max_steal is DIRTY and
-        # does not count toward `repeats` (retried, up to a cap).  Estimate
-        # = min wall over clean legs — together, "min over certified-quiet
-        # runs" rather than hoping k repeats caught a quiet window.
+        # The physical host is shared: co-tenant storms (CPU-steal AND
+        # kernel/memory modes — see module docstring) inflate identical
+        # legs 1.5-10x.  Protocol: interleave the two levels; measure each
+        # leg's steal fraction and in-leg memory canary across its whole
+        # wall; a leg breaching either threshold is DIRTY and does not
+        # count toward `repeats` (retried, up to a cap).  Estimate = min
+        # wall over clean legs — "min over certified-quiet runs" rather
+        # than hoping k repeats caught a quiet window.
         max_steal = float(os.environ.get("SCALING_MAX_STEAL", "0.05"))
         max_load = float(os.environ.get("SCALING_MAX_LOAD", "3.0"))
+        min_canary = float(os.environ.get("SCALING_MIN_CANARY", "0.5"))
         max_attempts = repeats * int(os.environ.get("SCALING_MAX_DIRTY_FACTOR", "4"))
+        ref = quiet_reference()
+        print(f"# canary quiet reference: {ref}", file=sys.stderr)
         runs: dict[int, list[dict]] = {low: [], high: []}
         dirty: dict[int, int] = {low: 0, high: 0}
+        verified: dict[int, bool] = {}
         attempts = 0
         while (
             min(len(runs[low]), len(runs[high])) < repeats
@@ -212,18 +354,47 @@ def main():
             for cores in (low, high):
                 if len(runs[cores]) >= repeats:
                     continue
-                wait_for_quiet(max_load, max_steal=max_steal)
+                wait_for_quiet(max_load, max_steal=max_steal, ref=ref,
+                               min_canary=min_canary)
+                # Verify on the first clean leg per level only: the job and
+                # input are deterministic, and the (untimed) single-core
+                # verification pass would otherwise double the leg's
+                # storm-exposure window.
+                do_verify = cores not in verified
                 s0, t0 = _cpu_ticks()
-                stdout = spark_submit(
-                    cores, DRIVER, [str(n_events), str(cores), events_dir,
-                    str(n_repos), str(n_batches)]
-                )
+                with CanaryThread() as can:
+                    stdout = spark_submit(
+                        cores, DRIVER,
+                        [str(n_events), str(cores), events_dir,
+                         str(n_repos), str(n_batches),
+                         "1" if do_verify else "0"],
+                    )
                 s1, t1 = _cpu_ticks()
                 leg_steal = (s1 - s0) / max(1, t1 - t0)
+                mins = can.mins()
                 line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][0]
                 r = json.loads(line[len("RESULT "):])
                 r["steal"] = round(leg_steal, 4)
-                if leg_steal > max_steal:
+                r["canary_touch_min"] = round(mins["touch"], 0)
+                r["canary_stream_min"] = round(mins["stream"], 2)
+                # Dirty test uses steal + page-touch only; the stream rate
+                # is recorded as a diagnostic but NOT gated on — our own
+                # leg's memory traffic depresses it ~40% even on a quiet
+                # host, which would false-flag every healthy high-core leg.
+                storm = (
+                    leg_steal > max_steal
+                    or mins["touch"] < min_canary * ref["touch"]
+                )
+                print(f"# leg cores={cores} wall={r['wall_s']} "
+                      f"steal={r['steal']} canary_mins={mins} "
+                      f"{'DIRTY' if storm else 'clean'}", file=sys.stderr)
+                if r.get("verified") is not None:
+                    # a failed verification is fatal regardless of storms
+                    if r["verified"] is False:
+                        raise SystemExit(
+                            f"replay verification FAILED at {cores} cores")
+                    verified[cores] = True
+                if storm:
                     dirty[cores] += 1
                     continue
                 runs[cores].append(r)
@@ -241,7 +412,7 @@ def main():
             results[c]["all_wall_s"] = [r["wall_s"] for r in runs[c]]
             results[c]["all_steal"] = [r["steal"] for r in runs[c]]
             results[c]["dirty_legs_discarded"] = dirty[c]
-            results[c]["verified"] = all(r["verified"] for r in runs[c])
+            results[c]["verified"] = verified.get(c, False)
 
     r_lo, r_hi = results[low], results[high]
     ratio = high / low
@@ -250,6 +421,7 @@ def main():
         "n_events": n_events,
         "n_repos": n_repos,
         "n_batches": n_batches,
+        "canary_ref": {k: round(v, 1) for k, v in ref.items()},
         "low": r_lo,
         "high": r_hi,
         "core_ratio": ratio,
