@@ -42,7 +42,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 8g, not bigger: the sandbox hypervisor overcommits memory and a
+        # process whose resident set grows past ~20 GB triggers ballooning
+        # that throttles the whole VM 4-5x (measured — see
+        # scripts/scaling_bench.py docstring).  The JVM heap plus ~32
+        # Arrow python workers must stay under that line; 8g is ample for
+        # sf0.1 benches and 8M-event replays.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -84,7 +84,7 @@ def run(cores: int, n_events: int) -> dict:
     os.makedirs(local_dir, exist_ok=True)
     out = subprocess.run(
         ["spark-submit", "--master", f"local[{cores}]",
-         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"),
          "--conf", f"spark.local.dir={local_dir}",
          "--py-files", pkg, path, str(n_events), str(cores)],
         capture_output=True, text=True, cwd=repo, check=True,

@@ -26,7 +26,16 @@ interference on the shared physical box):
    collapses: an anonymous 128 MB page-touch that takes ~0.1s quiet was
    measured taking 20s+ of pure sys time mid-storm (~200x).  Spark's
    shuffle/parquet work is memory-heavy and inflates 1.5-5x, while
-   loadavg and steal look clean.  Detected by an in-leg CANARY thread
+   loadavg and steal look clean.  CRITICALLY, this mode is partly
+   SELF-INFLICTED: the sandbox hypervisor overcommits memory, and a JVM
+   whose resident set grows past ~20 GB triggers ballooning that
+   throttles the whole VM (measured: a 24g pre-touched heap collapsed
+   the canary to 4 MB/s and ran every batch 4-5x slow; the identical
+   leg with a 6g heap ran all batches clean).  Hence the default driver
+   memory here is 6g (SPARK_GRAFT_DRIVER_MEM to override) — plenty for
+   8M-event batches, and small enough to stay under the ballooning
+   threshold.  Residual co-tenant storms are detected by an in-leg
+   CANARY thread
    sampling the anonymous-mmap page-touch rate every ~6s; a leg whose
    slowest sample drops below SCALING_MIN_CANARY x the quiet reference is
    discarded.  (A 64 MB streaming-sum rate is recorded as a diagnostic but
@@ -105,13 +114,14 @@ with tempfile.TemporaryDirectory(dir=workdir) as tmp:
         key_cols=["repo", "path"], bucket_col="repo", num_buckets=32,
     )
     bids = pending_batches(table, events_dir)
-    batch_walls = []
-    t0 = time.monotonic()
+    batch_spans = []  # epoch [start, end] per micro-batch, for span-scoped
+    # storm certification in the parent (canary samples are epoch-stamped)
     for bid in bids:
-        tb = time.monotonic()
+        ts = time.time()
         replay(table, events_dir, batch_ids=[bid])
-        batch_walls.append(round(time.monotonic() - tb, 2))
-    wall = time.monotonic() - t0
+        batch_spans.append([round(ts, 2), round(time.time(), 2)])
+    batch_walls = [round(b - a, 2) for a, b in batch_spans]
+    wall = round(batch_spans[-1][1] - batch_spans[0][0], 2)
     bad = -1  # verification skipped (repeat leg reuses first leg's verdict)
     if verify:
         from data_migration_validator_spark.cdc.oracle import expected_final_state
@@ -123,9 +133,10 @@ with tempfile.TemporaryDirectory(dir=workdir) as tmp:
                              ["repo", "path"], ["commit", "lang", "content"])
         bad = rec.filter(F.col("status") != "MATCH").count()
     print("RESULT " + json.dumps({
-        "cores": cores, "events": n_events, "wall_s": round(wall, 2),
+        "cores": cores, "events": n_events, "wall_s": wall,
         "events_per_sec": round(n_events / wall, 1),
         "batches": len(batch_walls), "batch_walls": batch_walls,
+        "batch_spans": batch_spans,
         "verified": (bad == 0) if verify else None,
     }))
 """
@@ -211,30 +222,41 @@ def canary_sample() -> dict[str, float]:
     return {"touch": touch_rate(), "stream": stream_rate()}
 
 
-def quiet_reference(k: int = 5) -> dict[str, float]:
+def quiet_reference(k: int = 5, settle_timeout_s: float = 300.0) -> dict[str, float]:
     """Best canary rates over k seconds — the 'quiet host' yardstick.
     Max (not mean) so a storm during calibration can only make the gate
-    stricter, never looser."""
+    stricter, never looser.  If the best touch rate looks ballooning-
+    depressed (< 500 MB/s — e.g. right after a large-heap JVM exited),
+    keep sampling until the host settles so the reference is never
+    calibrated against a throttled host (which would make the dirty gate
+    vacuous)."""
+    deadline = time.monotonic() + settle_timeout_s
     best = {"touch": 0.0, "stream": 0.0}
-    for _ in range(k):
-        s = canary_sample()
-        best = {m: max(best[m], s[m]) for m in best}
-        time.sleep(1)
-    return best
+    while True:
+        for _ in range(k):
+            s = canary_sample()
+            best = {m: max(best[m], s[m]) for m in best}
+            time.sleep(1)
+        if best["touch"] >= 500.0 or time.monotonic() > deadline:
+            return best
 
 
 class CanaryThread:
-    """Samples the memory canary every ~6s for the duration of a leg."""
+    """Samples the memory canary every ~6s for the duration of a leg.
+    Samples are epoch-stamped so certification can be scoped to the TIMED
+    replay span: the leg also spends untimed wall on JVM start, warm-up,
+    and (first leg per level) verification, and a storm there must not
+    discard an otherwise-clean measurement."""
 
     def __init__(self) -> None:
-        self.samples: list[dict[str, float]] = []
+        self.samples: list[tuple[float, dict[str, float]]] = []
         self._stop = threading.Event()
         self._th = threading.Thread(target=self._run, daemon=True)
 
     def _run(self) -> None:
         while not self._stop.is_set():
             try:
-                self.samples.append(canary_sample())
+                self.samples.append((time.time(), canary_sample()))
             except Exception:
                 pass
             self._stop.wait(6.0)
@@ -247,12 +269,18 @@ class CanaryThread:
         self._stop.set()
         self._th.join(timeout=3)
 
-    def mins(self) -> dict[str, float]:
-        if not self.samples:
+    def mins(self, span: tuple[float, float] | None = None) -> dict[str, float]:
+        """Worst sample rates, optionally restricted to an epoch span.
+        The span is widened by one sampling interval on the left so a
+        sample straddling the span start still counts."""
+        if span is None:
+            sel = [s for _, s in self.samples]
+        else:
+            a, b = span
+            sel = [s for t, s in self.samples if a - 6.5 <= t <= b + 0.5]
+        if not sel:
             return {"touch": 0.0, "stream": 0.0}
-        return {
-            m: min(s[m] for s in self.samples) for m in ("touch", "stream")
-        }
+        return {m: min(s[m] for s in sel) for m in ("touch", "stream")}
 
 
 def wait_for_quiet(
@@ -307,7 +335,7 @@ def spark_submit(cores: int, script: str, args: list[str]) -> str:
     os.makedirs(local_dir, exist_ok=True)
     out = subprocess.run(
         ["spark-submit", "--master", f"local[{cores}]",
-         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"),
          "--conf", f"spark.local.dir={local_dir}",
          "--py-files", pkg, path, *args],
         capture_output=True, text=True, cwd=repo, check=True,
@@ -371,12 +399,20 @@ def main():
                     )
                 s1, t1 = _cpu_ticks()
                 leg_steal = (s1 - s0) / max(1, t1 - t0)
-                mins = can.mins()
                 line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][0]
                 r = json.loads(line[len("RESULT "):])
+                # Certify against the TIMED replay span only: warm-up and
+                # verification also sit inside the leg's wall, and a storm
+                # there doesn't touch the measurement.
+                span = (r["batch_spans"][0][0], r["batch_spans"][-1][1])
+                mins = can.mins(span)
                 r["steal"] = round(leg_steal, 4)
                 r["canary_touch_min"] = round(mins["touch"], 0)
                 r["canary_stream_min"] = round(mins["stream"], 2)
+                r["canary_touch_min_batch"] = [
+                    round(can.mins((a, b))["touch"], 0)
+                    for a, b in r["batch_spans"]
+                ]
                 # Dirty test uses steal + page-touch only; the stream rate
                 # is recorded as a diagnostic but NOT gated on — our own
                 # leg's memory traffic depresses it ~40% even on a quiet
