@@ -13,8 +13,22 @@ default 3), SCALING_REPOS (key-space breadth, default 5000),
 SCALING_BATCHES (micro-batches; 1 = one big batch, default 4),
 SCALING_MAX_STEAL (co-tenant steal fraction above which a leg is discarded
 as storm-dirty, default 0.05), SCALING_MIN_CANARY (fraction of the quiet
-canary reference below which a leg is memory-storm-dirty, default 0.5),
+canary reference below which a leg is memory-storm-dirty, default 0.1),
 SCALING_MAX_DIRTY_FACTOR (attempt budget = repeats x this, default 4).
+
+Why MIN_CANARY is a CATASTROPHE filter (0.1x), not a cleanliness gate:
+host noise is strictly additive — a wall can only be inflated, never
+deflated — so the min over k legs converges on the clean wall from above.
+The canary's job is only to reject legs caught in the two catastrophic
+modes (steal storm, ballooning/memory collapse: touch rate drops 100-400x)
+whose walls are 2-10x garbage and would waste a repeat slot.  Moderate
+canary dips (0.2-0.5x) mostly reflect co-tenant traffic on the OTHER
+cores of the box — measured: they barely move the wall of a busy leg but
+false-flag 1-core legs (31 idle cores hand the memory bus to neighbors,
+depressing the canary while our single busy core runs at speed).  A
+strict 0.5x gate therefore rejects legs whose walls are within a few
+percent of clean and starves the estimator on busy nights; min-of-k over
+non-catastrophic legs is the robust estimate.
 
 Host-noise model (measured on this sandbox; both modes are co-tenant
 interference on the shared physical box):
@@ -366,7 +380,7 @@ def main():
         # than hoping k repeats caught a quiet window.
         max_steal = float(os.environ.get("SCALING_MAX_STEAL", "0.05"))
         max_load = float(os.environ.get("SCALING_MAX_LOAD", "3.0"))
-        min_canary = float(os.environ.get("SCALING_MIN_CANARY", "0.5"))
+        min_canary = float(os.environ.get("SCALING_MIN_CANARY", "0.1"))
         max_attempts = repeats * int(os.environ.get("SCALING_MAX_DIRTY_FACTOR", "4"))
         ref = quiet_reference()
         print(f"# canary quiet reference: {ref}", file=sys.stderr)
