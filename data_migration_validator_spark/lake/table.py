@@ -61,6 +61,36 @@ def _should_broadcast(
     return n_changes <= broadcast_max_rows
 
 
+# Keys-only broadcast reaches this multiple of ``broadcast_max_rows``: key
+# tuples are ~10x narrower than full rows, so a key set 10x past the full-row
+# cap costs the driver/executors about the same memory as a full-row
+# broadcast at the cap.
+_KEY_BROADCAST_FACTOR = 10
+
+
+def _anti_join_strategy(
+    n_changes: int,
+    broadcast_changes: bool | None,
+    broadcast_max_rows: int,
+) -> str:
+    """Three-tier survivors-join strategy, kept pure so it is plan-testable.
+
+    'broadcast': the whole change-set is known-small — hint broadcast (the
+        anti-join AND the later union/write reuse the cached small frame).
+    'keys': too big for a full-row broadcast, but the anti-join only needs
+        the key columns (~10x narrower), so broadcasting JUST the keys keeps
+        the big existing side shuffle-free up to 10x the row cap.
+    'shuffle': backfill-sized key sets — a broadcast would OOM; shuffle.
+    """
+    if broadcast_changes is not None:
+        return "broadcast" if broadcast_changes else "shuffle"
+    if _should_broadcast(n_changes, None, broadcast_max_rows):
+        return "broadcast"
+    if n_changes <= broadcast_max_rows * _KEY_BROADCAST_FACTOR:
+        return "keys"
+    return "shuffle"
+
+
 def _manifest_rows(m: dict) -> int:
     """Live row count of one manifest: per-bucket observed counts, with a
     per-file fallback for manifests written before bucket_rows existed."""
@@ -441,7 +471,15 @@ class LakeTable:
             if touched_has_files:
                 change_keys = changes.select(*keys)
                 n_changes = rows_upserted + deletes_requested
-                if _should_broadcast(n_changes, broadcast_changes, broadcast_max_rows):
+                # Keys-only tier: the anti-join needs just the key columns
+                # of the change-set, so the existing side — the BIG side,
+                # the whole touched region of the table — stays put
+                # (scan → filter → write, no shuffle) for change-sets well
+                # past the full-row broadcast cap.  On the 8M-event replay
+                # this removes a full-width shuffle of 0.6-2.5 GB per batch.
+                if _anti_join_strategy(
+                    n_changes, broadcast_changes, broadcast_max_rows
+                ) in ("broadcast", "keys"):
                     change_keys = F.broadcast(change_keys)
                 survivors = existing.join(change_keys, on=keys, how="left_anti")
             else:

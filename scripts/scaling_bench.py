@@ -16,6 +16,17 @@ as storm-dirty, default 0.05), SCALING_MIN_CANARY (fraction of the quiet
 canary reference below which a leg is memory-storm-dirty, default 0.1),
 SCALING_MAX_DIRTY_FACTOR (attempt budget = repeats x this, default 4).
 
+At ≥8M-event fixtures the in-leg canary is NOT trustworthy: the leg's own
+tmpfs writes + JVM page faulting depress the parent's page-touch rate
+30-180x below the quiet reference even while the leg itself runs clean
+(measured 2026-08-18: back-to-back 1-core legs walled 466.63s and 463.66s
+— 0.6% apart, impossible mid-storm where walls inflate 1.5-10x — with
+touch mins of 9.8 and 6.3 MB/s vs a 1746 MB/s reference).  For big
+fixtures run with SCALING_MIN_CANARY=0 and certify on the steal gate plus
+WALL REPRODUCIBILITY instead: k interleaved legs per level whose min-of-k
+spread is reported in the output (all_wall_s); a storm cannot make a leg
+faster, so tight agreement across legs IS the cleanliness certificate.
+
 Why MIN_CANARY is a CATASTROPHE filter (0.1x), not a cleanliness gate:
 host noise is strictly additive — a wall can only be inflated, never
 deflated — so the min over k legs converges on the clean wall from above.
@@ -347,8 +358,18 @@ def spark_submit(cores: int, script: str, args: list[str]) -> str:
     # aggregate bandwidth scales with executor count).
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     os.makedirs(local_dir, exist_ok=True)
+    # Pin the leg to exactly `cores` physical CPUs.  local[N] caps TASK
+    # slots only: the JVM's GC / Netty / parquet-compression helper threads
+    # still fan out over every host CPU, so an unpinned "1-core" leg
+    # silently burns 1.3-1.8 cores and deflates measured N→4N efficiency
+    # (this is also the faithful cluster analog — a 1-core executor
+    # container is cgroup-limited to 1 CPU, helpers included).
+    # SCALING_NO_TASKSET=1 opts out.
+    pin: list[str] = []
+    if not os.environ.get("SCALING_NO_TASKSET"):
+        pin = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"]
     out = subprocess.run(
-        ["spark-submit", "--master", f"local[{cores}]",
+        [*pin, "spark-submit", "--master", f"local[{cores}]",
          "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"),
          "--conf", f"spark.local.dir={local_dir}",
          "--py-files", pkg, path, *args],

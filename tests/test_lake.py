@@ -156,8 +156,9 @@ def test_append(spark, tmp_root):
 
 
 def test_merge_large_batch_without_broadcast(spark, tmp_root):
-    # change-set above the broadcast threshold takes the shuffle anti-join
-    # path (broadcast of a backfill-sized key set would OOM at scale)
+    # change-set above the broadcast threshold AND the keys-only tier takes
+    # the shuffle anti-join path (broadcast of a backfill-sized key set
+    # would OOM at scale): 500 changes > 10 rows cap * 10 keys factor
     t = _mk(spark, tmp_root, num_buckets=4)
     base = [(f"r{i}", "p", "c0", "py", f"old{i}") for i in range(500)]
     t.overwrite(spark.createDataFrame(base, "repo string, path string, commit string, lang string, content string"))
@@ -166,7 +167,7 @@ def test_merge_large_batch_without_broadcast(spark, tmp_root):
         + [(f"r{i}", "q", "c1", "py", "ins", "insert") for i in range(500, 600)],
         "repo string, path string, commit string, lang string, content string, op string",
     )
-    stats = t.merge(changes, batch_id=7, broadcast_max_rows=100)
+    stats = t.merge(changes, batch_id=7, broadcast_max_rows=10)
     assert stats["rows_upserted"] == 500
     got = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
     assert got[("r0", "p")] == "new0" and got[("r450", "p")] == "old450"
@@ -227,7 +228,10 @@ def test_merge_broadcast_decision_matrix_and_plan(spark, tmp_root):
     """VERDICT r2 ask #9: lock in the size-aware MERGE anti-join strategy.
     The decision is a pure function (tested exhaustively) and the hint it
     controls lands in / stays out of the survivors-join logical plan."""
-    from data_migration_validator_spark.lake.table import _should_broadcast
+    from data_migration_validator_spark.lake.table import (
+        _anti_join_strategy,
+        _should_broadcast,
+    )
 
     # decision matrix
     assert _should_broadcast(10, None, 500_000) is True
@@ -235,6 +239,15 @@ def test_merge_broadcast_decision_matrix_and_plan(spark, tmp_root):
     assert _should_broadcast(500_001, None, 500_000) is False
     assert _should_broadcast(10_000_000, True, 500_000) is True  # forced on
     assert _should_broadcast(1, False, 500_000) is False  # forced off
+
+    # three-tier strategy: full-row broadcast, keys-only broadcast (10x the
+    # row cap — key tuples are ~10x narrower), shuffle past both
+    assert _anti_join_strategy(10, None, 500_000) == "broadcast"
+    assert _anti_join_strategy(500_001, None, 500_000) == "keys"
+    assert _anti_join_strategy(5_000_000, None, 500_000) == "keys"
+    assert _anti_join_strategy(5_000_001, None, 500_000) == "shuffle"
+    assert _anti_join_strategy(5_000_001, True, 500_000) == "broadcast"
+    assert _anti_join_strategy(10, False, 500_000) == "shuffle"  # forced off
 
     # plan shape: the hint the decision gates produces a BroadcastHashJoin;
     # without it (and with auto-broadcast disabled, as a big change-set
