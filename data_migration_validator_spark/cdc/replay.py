@@ -37,14 +37,22 @@ def replay(
     events_dir: str,
     lineage: LakeTable | None = None,
     batch_ids: list[int] | None = None,
-    salt_buckets: int = 16,
+    salt_buckets: int = 1,
     count_deletes: bool = False,
+    merge_mode: str | None = None,
+    compact_every: int | None = None,
 ) -> dict:
     """Replay batched events (written by ``write_events_batched``) in order.
 
     Each batch is read with directory pruning (``batch_hint=<id>/``), applied
     idempotently, and committed.  Re-running after a crash (or calling with
     overlapping ``batch_ids``) re-applies nothing.
+
+    ``merge_mode="mor"`` lands each batch as merge-on-read deltas (O(batch)
+    bytes per batch instead of O(touched table) — the high-rate ingest
+    shape); ``compact_every=k`` folds deltas back into base files after
+    every k applied batches (compaction is idempotent maintenance — a crash
+    between a merge and its compaction loses nothing).
     """
     spark: SparkSession = table.spark
     if batch_ids is None:
@@ -64,6 +72,7 @@ def replay(
             lineage=lineage,
             salt_buckets=salt_buckets,
             count_deletes=count_deletes,
+            merge_mode=merge_mode,
         )
         if stats.get("skipped"):
             n_skipped += 1
@@ -72,6 +81,8 @@ def replay(
             total_upserted += stats.get("rows_upserted", 0)
             total_deleted += stats.get("rows_deleted", 0)
             total_del_req += stats.get("rows_delete_requested", 0)
+            if compact_every and n_applied % compact_every == 0:
+                table.compact()
     out = {
         "batches_applied": n_applied,
         "batches_skipped": n_skipped,

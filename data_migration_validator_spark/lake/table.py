@@ -236,22 +236,42 @@ class LakeTable:
     def read(
         self, buckets: list[int] | None = None, with_bucket: bool = False
     ) -> DataFrame:
-        """Current-schema DataFrame over the live files.
+        """Current-schema DataFrame over the live table state.
 
         ``buckets`` prunes at file level — the scan never touches untouched
         buckets' files (MERGE relies on this).  Files are grouped by writer
         schema id; each group is projected to the current schema by field id
         (rename via id match, add via null literal, widen via cast), then the
         groups union by name.
+
+        When merge-on-read deltas are live (``merge(mode="mor")``), the
+        scanned buckets' deltas are folded in here: base ∪ deltas, latest
+        delta sequence wins per key (one hash aggregate — the same partial-
+        aggregation skew story as the dedup), delete tombstones drop out.
+        Buckets with no deltas keep the plain scan.  MOR read assumes unique
+        keys in the base (MERGE guarantees it; a blind ``append`` of
+        duplicate keys onto a delta-bearing table is caller error, as in
+        Iceberg equality-delete semantics).
         """
         cur = self.schema
+        base = self._read_base(cur, buckets)
+        deltas = self.manifest.get("deltas", [])
+        if buckets is not None:
+            bset = set(buckets)
+            deltas = [e for e in deltas if e["bucket"] in bset]
+        df = self._resolve_mor(base, deltas, cur) if deltas else base
+        if with_bucket:
+            df = df.withColumn("__bucket", self.bucket_expr())
+        return df
+
+    def _read_base(self, cur: TableSchema, buckets: list[int] | None) -> DataFrame:
+        """Plain scan of the base files projected to the current schema."""
         files = self.manifest["files"]
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
         if not files:
-            df = self.spark.createDataFrame([], cur.to_struct_type())
-            return df.withColumn("__bucket", F.lit(None).cast("int")) if with_bucket else df
+            return self.spark.createDataFrame([], cur.to_struct_type())
 
         by_schema: dict[str, list[str]] = {}
         for f in files:
@@ -261,20 +281,73 @@ class LakeTable:
 
         parts: list[DataFrame] = []
         for sid, paths in by_schema.items():
-            old = TableSchema.from_json(self.manifest["schemas"][sid])
             raw = self.spark.read.parquet(*paths)
-            proj = []
-            for fld in cur.fields:
-                src_fld = old.field_by_id(fld.id)
-                if src_fld is None:
-                    proj.append(F.lit(None).cast(fld.type).alias(fld.name))
-                else:
-                    proj.append(F.col(src_fld.name).cast(fld.type).alias(fld.name))
-            parts.append(raw.select(*proj))
-        df = reduce(lambda a, b: a.unionByName(b), parts)
-        if with_bucket:
-            df = df.withColumn("__bucket", self.bucket_expr())
-        return df
+            parts.append(raw.select(*self._projection_to(cur, sid, raw.columns)))
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _projection_to(
+        self, cur: TableSchema, schema_id: str, available: list[str]
+    ) -> list[F.Column]:
+        """Field-id projection of a file written under ``schema_id`` to the
+        current schema (rename via id match, add via null, widen via cast)."""
+        old = TableSchema.from_json(self.manifest["schemas"][schema_id])
+        proj = []
+        for fld in cur.fields:
+            src_fld = old.field_by_id(fld.id)
+            if src_fld is None or src_fld.name not in available:
+                proj.append(F.lit(None).cast(fld.type).alias(fld.name))
+            else:
+                proj.append(F.col(src_fld.name).cast(fld.type).alias(fld.name))
+        return proj
+
+    def _mor_union(
+        self, base: DataFrame, delta_entries: list[dict], cur: TableSchema
+    ) -> DataFrame:
+        """base ∪ delta files as one frame tagged (__op, __dseq): base rows
+        carry ('u', 0); each delta file group carries its manifest commit
+        seq, projected to the current schema by field id."""
+        groups: dict[tuple[str, int], list[str]] = {}
+        for e in delta_entries:
+            groups.setdefault((str(e["schema_id"]), int(e["seq"])), []).append(
+                os.path.join(self.root, e["path"])
+            )
+        parts = [
+            base.select("*", F.lit("u").alias("__op"), F.lit(0).alias("__dseq"))
+        ]
+        for (sid, seq), paths in groups.items():
+            raw = self.spark.read.parquet(*paths)
+            proj = self._projection_to(cur, sid, raw.columns)
+            parts.append(
+                raw.select(*proj, F.col("__op"), F.lit(seq).alias("__dseq"))
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _resolve_mor(
+        self, base: DataFrame, delta_entries: list[dict], cur: TableSchema
+    ) -> DataFrame:
+        """base ∪ deltas → latest-wins per key → drop delete tombstones.
+
+        One hash aggregate on the key columns: map-side partial ``max_by``
+        collapses each key to one candidate per task, so a hot key's rows
+        never funnel raw into a single reducer (the same defusal as the
+        dedup's partial aggregation).  ``__dseq`` is the manifest seq the
+        delta committed at — attached per file group from the manifest, not
+        stored per row; base rows carry seq 0, so any delta beats base and
+        later deltas beat earlier ones (a redelivered key appears in at most
+        one delta per seq because MERGE takes pre-deduped change-sets)."""
+        allr = self._mor_union(base, delta_entries, cur)
+        keys = self.key_cols
+        payload = [f.name for f in cur.fields if f.name not in keys]
+        winner = F.max_by(
+            F.struct(*[F.col(c) for c in payload], F.col("__op")), F.col("__dseq")
+        ).alias("__w")
+        resolved = allr.groupBy(*keys).agg(winner).where(F.col("__w.__op") != "d")
+        return resolved.select(
+            *[
+                F.col(f.name) if f.name in keys else F.col(f"__w.{f.name}").alias(f.name)
+                for f in cur.fields
+            ]
+        )
 
     def to_df(self) -> DataFrame:
         return self.read()
@@ -294,9 +367,13 @@ class LakeTable:
                 proj.append(F.lit(None).cast(fld.type).alias(fld.name))
         return df.select(*proj)
 
-    def _write_files(self, df: DataFrame) -> tuple[list[dict], dict[int, int]]:
+    def _write_files(
+        self, df: DataFrame, pre_partitioned: bool = False
+    ) -> tuple[list[dict], dict[int, int]]:
         """Write ``df`` (current schema) as bucketed parquet; return
-        (file entries, per-bucket row counts).
+        (file entries, per-bucket row counts).  ``pre_partitioned``: the
+        frame already carries ``__bucket`` and is exchange-partitioned and
+        sorted by it (the fused compaction path) — skip the layout shuffle.
 
         One shuffle on ``__bucket`` so each task writes whole buckets —
         avoids the tasks×buckets small-file explosion.  AQE coalesces when
@@ -318,10 +395,15 @@ class LakeTable:
             F.sum(F.when(F.col("__bucket") == b, 1).otherwise(0)).alias(f"b{b}")
             for b in range(self.num_buckets)
         ]
+        shaped = (
+            df  # pre-partitioned caller: __bucket present, exchange done
+            if pre_partitioned
+            else df.withColumn("__bucket", self.bucket_expr()).repartition(
+                F.col("__bucket")
+            )
+        )
         (
-            df.withColumn("__bucket", self.bucket_expr())
-            .observe(obs, *bucket_aggs)
-            .repartition(F.col("__bucket"))
+            shaped.observe(obs, *bucket_aggs)
             .write.option("maxRecordsPerFile", 5_000_000)
             .partitionBy("__bucket")
             .mode("overwrite")
@@ -350,6 +432,102 @@ class LakeTable:
             )
         return entries, bucket_rows
 
+    def _write_delta_files(
+        self,
+        changes: DataFrame,
+        op_col: str,
+        delete_value: str,
+        order_col: str | None = None,
+        pre_partitioned: bool = False,
+    ) -> tuple[list[dict], list[dict]]:
+        """Write a change-set as merge-on-read delta files (upsert rows +
+        delete tombstones, ``__op`` ∈ {'u','d'}); return (file entries,
+        per-bucket stats rows).
+
+        ONE Spark action: the per-bucket upsert/delete counts (and, when
+        ``order_col`` is given, its min/max — the lineage offsets) ride the
+        write via ``observe``, so a MOR merge needs no separate stats job,
+        no cached change-set, and no scan of the existing table.  That is
+        the point of the mode: per batch the engine moves O(batch) bytes,
+        not O(touched table), which at 10^10-event scale (and on this
+        sandbox's memory-bandwidth-bound host) is the difference between a
+        scalable ingest and one that rewrites the table every micro-batch.
+        """
+        from pyspark.sql import Observation
+
+        seq = self.manifest["seq"] + 1
+        snap_dir = f"data/delta-{seq:08d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, snap_dir)
+        cur = self.schema
+        is_del = F.col(op_col) == delete_value
+        # pre_partitioned: the caller's change-set already carries __bucket
+        # and is exchange-partitioned AND sorted by it (cdc.apply's
+        # bucket-aligned dedup) — the write below then needs NO repartition
+        # and NO writer-side sort: the batch's single payload shuffle was
+        # the dedup's, and it doubled as the layout.
+        df = (
+            changes
+            if pre_partitioned
+            else changes.withColumn("__bucket", self.bucket_expr())
+        )
+        aggs = []
+        for b in range(self.num_buckets):
+            inb = F.col("__bucket") == b
+            aggs.append(F.sum(F.when(inb & ~is_del, 1).otherwise(0)).alias(f"u{b}"))
+            aggs.append(F.sum(F.when(inb & is_del, 1).otherwise(0)).alias(f"d{b}"))
+            if order_col is not None:
+                aggs.append(F.min(F.when(inb, F.col(order_col))).alias(f"lo{b}"))
+                aggs.append(F.max(F.when(inb, F.col(order_col))).alias(f"hi{b}"))
+        obs = Observation(f"rows-{snap_dir}")
+        cols = set(changes.columns)
+        proj = [
+            F.col(f.name).cast(f.type).alias(f.name)
+            if f.name in cols
+            else F.lit(None).cast(f.type).alias(f.name)
+            for f in cur.fields
+        ]
+        shaped = df.observe(obs, *aggs).select(
+            *proj,
+            F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("__op"),
+            F.col("__bucket"),
+        )
+        if not pre_partitioned:
+            shaped = shaped.repartition(F.col("__bucket"))
+        (
+            shaped.write.option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        try:
+            observed = dict(obs.get)
+        except Exception:  # zero-task write (empty frame): no metrics row
+            observed = {}
+        stats = []
+        for b in range(self.num_buckets):
+            n_up = int(observed.get(f"u{b}") or 0)
+            n_del = int(observed.get(f"d{b}") or 0)
+            if n_up + n_del == 0:
+                continue
+            row = {"__bucket": b, "n_up": n_up, "n_del": n_del}
+            if order_col is not None:
+                row["first_event_seq"] = observed.get(f"lo{b}")
+                row["last_event_seq"] = observed.get(f"hi{b}")
+            stats.append(row)
+        entries = []
+        for p in glob.glob(os.path.join(out, "__bucket=*", "*.parquet")):
+            bucket = int(p.split("__bucket=")[1].split(os.sep)[0])
+            entries.append(
+                {
+                    "path": os.path.relpath(p, self.root),
+                    "bucket": bucket,
+                    "bytes": os.path.getsize(p),
+                    "schema_id": self.manifest["schema_id"],
+                    "seq": seq,
+                }
+            )
+        return entries, stats
+
     def _updated_bucket_rows(
         self, touched: set[int], new_rows: dict[int, int], add: bool = False
     ) -> dict[str, int]:
@@ -369,11 +547,13 @@ class LakeTable:
         return out
 
     def overwrite(self, df: DataFrame) -> None:
-        """Full-table replace (CTAS / initial load)."""
+        """Full-table replace (CTAS / initial load).  Clears any live
+        merge-on-read deltas — they described the replaced state."""
         entries, bucket_rows = self._write_files(self._conform(df))
         self._write_manifest(
             self._next_manifest(
                 files=entries,
+                deltas=[],
                 bucket_rows={str(b): n for b, n in bucket_rows.items()},
             )
         )
@@ -411,8 +591,22 @@ class LakeTable:
         count_deletes: bool = True,
         broadcast_max_rows: int = 500_000,
         bucket_stats: list[dict] | None = None,
+        mode: str | None = None,
+        order_col: str | None = None,
+        pre_partitioned: bool = False,
     ) -> dict:
-        """Copy-on-write MERGE of a pre-deduped change-set.
+        """MERGE of a pre-deduped change-set: copy-on-write (default) or
+        merge-on-read.
+
+        ``mode``: "cow" rewrites the touched buckets (read amplification
+        zero, write amplification O(touched table) per batch); "mor" lands
+        the change-set as delta files + delete tombstones in one pass
+        (write amplification O(batch); readers fold deltas in until
+        :meth:`compact`).  ``None`` takes the table property
+        ``write.merge.mode`` (default "cow").  High-rate CDC ingest wants
+        "mor" + periodic compaction — the Iceberg v2 position on the same
+        trade-off.  ``order_col`` (mor only): event-offset column observed
+        per bucket for lineage; dropped before the files are written.
 
         ``changes``: exactly one row per key (last-writer-wins dedup happens
         upstream in ``cdc.apply``), columns ⊇ current schema + ``op_col``.
@@ -442,6 +636,14 @@ class LakeTable:
         """
         if batch_id is not None and self.has_batch(batch_id):
             return {"skipped": True, "batch_id": batch_id}
+        mode = mode or self.manifest["properties"].get("write.merge.mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        if mode == "mor":
+            return self._merge_mor(
+                changes, op_col, delete_value, batch_id, count_deletes,
+                order_col, pre_partitioned,
+            )
 
         keys = self.key_cols
         # Persist the change-set: every downstream action (bucket stats,
@@ -507,6 +709,13 @@ class LakeTable:
         kept = [f for f in self.manifest["files"] if f["bucket"] not in touched_set]
         m = self._next_manifest(
             files=kept + entries,
+            # the rewrite read a MOR-resolved ``existing``: any deltas on the
+            # touched buckets are folded into ``entries`` and must go.
+            deltas=[
+                e
+                for e in self.manifest.get("deltas", [])
+                if e["bucket"] not in touched_set
+            ],
             bucket_rows=self._updated_bucket_rows(touched_set, bucket_rows),
         )
         if batch_id is not None:
@@ -525,6 +734,149 @@ class LakeTable:
         if batch_id is not None:
             self._record_batch(batch_id, m["seq"], stats)
         return stats
+
+    def _merge_mor(
+        self,
+        changes: DataFrame,
+        op_col: str,
+        delete_value: str,
+        batch_id,
+        count_deletes: bool,
+        order_col: str | None,
+        pre_partitioned: bool = False,
+    ) -> dict:
+        """Merge-on-read MERGE: ONE write action lands the change-set as
+        delta files (stats observed on the write itself), the manifest gains
+        the delta entries, and the existing table is never scanned.  Exact
+        delete accounting (``count_deletes=True``) re-runs the change DAG
+        for a semi-join vs the pre-merge state — keep it off the hot path.
+        """
+        entries, bstats = self._write_delta_files(
+            changes, op_col, delete_value, order_col, pre_partitioned
+        )
+        touched = sorted(r["__bucket"] for r in bstats)
+        rows_upserted = int(sum(r["n_up"] for r in bstats))
+        deletes_requested = int(sum(r["n_del"] for r in bstats))
+
+        rows_deleted = 0
+        if count_deletes and deletes_requested:
+            deletes = changes.filter(F.col(op_col) == delete_value).select(
+                *self.key_cols
+            )
+            rows_deleted = deletes.join(  # pre-merge state: manifest not yet swapped
+                self.read(buckets=touched).select(*self.key_cols),
+                on=self.key_cols,
+                how="left_semi",
+            ).count()
+
+        m = self._next_manifest(
+            deltas=self.manifest.get("deltas", []) + entries,
+        )
+        if batch_id is not None:
+            m["properties"]["last_batch_id"] = str(batch_id)
+        self._write_manifest(m)
+
+        stats = {
+            "skipped": False,
+            "mode": "mor",
+            "rows_upserted": rows_upserted,
+            "rows_delete_requested": deletes_requested,
+            "touched_buckets": touched,
+            "seq": m["seq"],
+            "bucket_stats": bstats,
+        }
+        if count_deletes:
+            stats["rows_deleted"] = rows_deleted
+        if batch_id is not None:
+            self._record_batch(batch_id, m["seq"], stats)
+        return stats
+
+    # ------------------------------------------------------------------ #
+    # compaction (MOR maintenance: fold deltas back into the base)
+    # ------------------------------------------------------------------ #
+    def delta_detail(self) -> dict:
+        """Per-table delta footprint — the compaction trigger's input.
+        Metadata only: {num_delta_files, delta_bytes, buckets}."""
+        deltas = self.manifest.get("deltas", [])
+        return {
+            "num_delta_files": len(deltas),
+            "delta_bytes": sum(e.get("bytes", 0) for e in deltas),
+            "buckets": sorted({e["bucket"] for e in deltas}),
+        }
+
+    def _resolve_compact_frame(self, buckets: list[int], wsalt: int = 8) -> DataFrame:
+        """MOR resolution shaped for the compaction rewrite: ONE exchange on
+        (__bucket, key-hash salt) doubles as the output layout, and the
+        latest-wins pick is a window-lag over the in-partition sort instead
+        of a second groupBy shuffle — the same single-shuffle fusion as
+        ``cdc.apply.dedup_bucket_aligned``, so compaction scales like the
+        ingest it serves rather than paying the payload exchange twice.
+        Returns current-schema columns + ``__bucket``, partitioned AND
+        sorted by it (feed to ``_write_files(pre_partitioned=True)``)."""
+        from pyspark.sql import Window
+
+        cur = self.schema
+        base = self._read_base(cur, buckets)
+        bset = set(buckets)
+        deltas = [
+            e for e in self.manifest.get("deltas", []) if e["bucket"] in bset
+        ]
+        allr = self._mor_union(base, deltas, cur)
+        keys = self.key_cols
+        khash = F.xxhash64(*[F.col(k) for k in keys])
+        df = allr.withColumn("__bucket", self.bucket_expr()).withColumn(
+            "__wsalt", F.pmod(khash, F.lit(wsalt))
+        )
+        df = df.repartition(F.col("__bucket"), F.col("__wsalt"))
+        w = Window.partitionBy("__bucket", "__wsalt").orderBy(
+            khash, *[F.col(k) for k in keys], F.desc("__dseq")
+        )
+        same_key = reduce(
+            lambda a, b: a & b,
+            [F.lag(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in keys],
+        )
+        winner = F.lag(F.col("__dseq")).over(w).isNull() | ~same_key
+        return (
+            df.withColumn("__is_winner", winner)
+            .filter(F.col("__is_winner") & (F.col("__op") != "d"))
+            .select(*[F.col(f.name) for f in cur.fields], F.col("__bucket"))
+        )
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Fold merge-on-read deltas back into base files (bucket-scoped).
+
+        The MOR-resolved read of the delta-bearing buckets is rewritten as
+        plain base files (one shuffle on ``__bucket``, row counts observed on
+        the write), the buckets' deltas leave the manifest, and per-bucket
+        counts become exact again.  Equivalent to Iceberg's rewrite_data_files
+        maintenance; run it on a schedule or when :meth:`delta_detail`'s
+        bytes cross a threshold — ingest never blocks on it.
+        """
+        deltas = self.manifest.get("deltas", [])
+        scope = set(buckets) if buckets is not None else None
+        target = sorted(
+            {e["bucket"] for e in deltas if scope is None or e["bucket"] in scope}
+        )
+        if not target:
+            return {"compacted_buckets": [], "skipped": True}
+        resolved = self._resolve_compact_frame(target)
+        entries, bucket_rows = self._write_files(resolved, pre_partitioned=True)
+        tset = set(target)
+        kept_files = [f for f in self.manifest["files"] if f["bucket"] not in tset]
+        kept_deltas = [e for e in deltas if e["bucket"] not in tset]
+        self._write_manifest(
+            self._next_manifest(
+                files=kept_files + entries,
+                deltas=kept_deltas,
+                bucket_rows=self._updated_bucket_rows(tset, bucket_rows),
+            )
+        )
+        return {
+            "compacted_buckets": target,
+            "skipped": False,
+            "rows": int(sum(bucket_rows.values())),
+            "remaining_delta_files": len(kept_deltas),
+        }
 
     # ------------------------------------------------------------------ #
     # row-level UPDATE / DELETE (reference S14 point updates,
@@ -627,13 +979,7 @@ class LakeTable:
             }
         )
         entries, bucket_rows = self._write_files(self._conform(updated))
-        kept = [f for f in self.manifest["files"] if f["bucket"] not in set(touched)]
-        self._write_manifest(
-            self._next_manifest(
-                files=kept + entries,
-                bucket_rows=self._updated_bucket_rows(set(touched), bucket_rows),
-            )
-        )
+        self._commit_bucket_rewrite(set(touched), entries, bucket_rows)
         return n
 
     def delete_where(self, predicate: str) -> int:
@@ -645,14 +991,27 @@ class LakeTable:
         scoped = self.read(buckets=touched)
         survivors = scoped.filter(~F.expr(predicate))
         entries, bucket_rows = self._write_files(self._conform(survivors))
-        kept = [f for f in self.manifest["files"] if f["bucket"] not in set(touched)]
+        self._commit_bucket_rewrite(set(touched), entries, bucket_rows)
+        return n
+
+    def _commit_bucket_rewrite(
+        self, touched: set[int], entries: list[dict], bucket_rows: dict[int, int]
+    ) -> None:
+        """Swap the touched buckets' base files for ``entries``.  The
+        rewrite came from a MOR-resolved :meth:`read`, so the buckets'
+        deltas are folded in and must leave the manifest with the old files
+        — keeping them would re-apply them on top of the rewrite."""
+        kept = [f for f in self.manifest["files"] if f["bucket"] not in touched]
+        kept_deltas = [
+            e for e in self.manifest.get("deltas", []) if e["bucket"] not in touched
+        ]
         self._write_manifest(
             self._next_manifest(
                 files=kept + entries,
-                bucket_rows=self._updated_bucket_rows(set(touched), bucket_rows),
+                deltas=kept_deltas,
+                bucket_rows=self._updated_bucket_rows(touched, bucket_rows),
             )
         )
-        return n
 
     # ------------------------------------------------------------------ #
     # snapshot expiry / vacuum (reference S16 DROP/purge,
@@ -692,8 +1051,9 @@ class LakeTable:
         live: set[str] = set()
         for mp in kept:
             with open(mp) as f:
-                for entry in json.load(f)["files"]:
-                    live.add(entry["path"])
+                m = json.load(f)
+            for entry in m["files"] + m.get("deltas", []):
+                live.add(entry["path"])
         data_root = os.path.join(self.root, "data")
         files_removed = 0
         bytes_reclaimed = 0
@@ -734,7 +1094,7 @@ class LakeTable:
                 p = os.path.join(self.root, f["path"])
                 if os.path.exists(p):
                     size += os.path.getsize(p)
-        return {
+        out = {
             "num_files": len(files),
             "num_rows": self.row_count(),
             "size_in_bytes": size,
@@ -742,6 +1102,11 @@ class LakeTable:
             "schema_id": self.manifest["schema_id"],
             "seq": self.manifest["seq"],
         }
+        dd = self.delta_detail()
+        if dd["num_delta_files"]:
+            out["num_delta_files"] = dd["num_delta_files"]
+            out["delta_bytes"] = dd["delta_bytes"]
+        return out
 
     def history(self) -> list[dict]:
         mdir = os.path.join(self.root, "_manifest")
@@ -761,5 +1126,12 @@ class LakeTable:
         return out
 
     def row_count(self) -> int:
-        """Metadata-only count (per-bucket counts observed during writes)."""
+        """Exact live row count.  Metadata-only (per-bucket counts observed
+        during writes) — except while merge-on-read deltas are live, when an
+        exact count genuinely requires resolving them (a delta upsert may be
+        an insert or an update; a tombstone may or may not hit a row), so
+        this runs one count over the resolved read.  :meth:`compact` returns
+        the table to metadata-only counting."""
+        if self.manifest.get("deltas"):
+            return self.read().count()
         return _manifest_rows(self.manifest)

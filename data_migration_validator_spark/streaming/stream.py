@@ -42,9 +42,14 @@ def start_stream(
     checkpoint_dir: str,
     lineage: LakeTable | None = None,
     max_files_per_trigger: int = 4,
-    salt_buckets: int = 16,
+    salt_buckets: int = 1,
+    merge_mode: str | None = None,
 ) -> StreamingQuery:
-    """Tail a growing directory of event files into the lake table."""
+    """Tail a growing directory of event files into the lake table.
+
+    ``merge_mode="mor"`` makes every micro-batch an O(batch) delta commit —
+    the sustained-ingest shape; schedule :meth:`LakeTable.compact` as
+    separate maintenance."""
     spark = table.spark
     stream = (
         spark.readStream.schema(EVENT_STREAM_SCHEMA)
@@ -60,6 +65,7 @@ def start_stream(
             batch_id=f"stream-{batch_id}",
             lineage=lineage,
             salt_buckets=salt_buckets,
+            merge_mode=merge_mode,
         )
 
     return (
@@ -77,7 +83,8 @@ def run_stream_once(
     lineage: LakeTable | None = None,
     max_files_per_trigger: int = 4,
     timeout_s: int = 600,
-    salt_buckets: int = 16,
+    salt_buckets: int = 1,
+    merge_mode: str | None = None,
 ) -> None:
     """Run the stream to exhaustion of currently-available input (one
     availableNow pass) and stop.  Safe to call repeatedly: the checkpoint
@@ -90,6 +97,7 @@ def run_stream_once(
         lineage=lineage,
         max_files_per_trigger=max_files_per_trigger,
         salt_buckets=salt_buckets,
+        merge_mode=merge_mode,
     )
     q.awaitTermination(timeout_s)
     if q.isActive:

@@ -28,7 +28,7 @@ import sys
 import tempfile
 
 PROBE = r"""
-import json, sys, tempfile, time, urllib.request
+import json, os, sys, tempfile, time, urllib.request
 from pyspark.sql import SparkSession
 from data_migration_validator_spark.cdc.events import change_events, write_events_batched
 from data_migration_validator_spark.cdc.replay import replay, pending_batches
@@ -95,7 +95,9 @@ with tempfile.TemporaryDirectory(dir="/dev/shm") as tmp:
     wev = change_events(spark, n_events=40_000, n_repos=500,
                         paths_per_repo=200, seed=7, batch_size=20_000)
     write_events_batched(wev, f"{tmp}/warm_events")
-    replay(warm, f"{tmp}/warm_events")
+    replay(warm, f"{tmp}/warm_events",
+           merge_mode=os.environ.get("REPLAY_MERGE_MODE") or None)
+    warm.compact()
 
     table = LakeTable.create(spark, f"{tmp}/repo_content", SCHEMA,
                              key_cols=["repo", "path"], bucket_col="repo",
@@ -104,9 +106,12 @@ with tempfile.TemporaryDirectory(dir="/dev/shm") as tmp:
     prev = totals()
     seen = set()
     stage_rows(seen)  # swallow warmup stages
+    merge_mode = os.environ.get("REPLAY_MERGE_MODE") or None
+    salt = int(os.environ.get("REPLAY_SALT_BUCKETS", "16"))
     for bid in pending_batches(table, f"{tmp}/events"):
         t0 = time.monotonic()
-        replay(table, f"{tmp}/events", batch_ids=[bid])
+        replay(table, f"{tmp}/events", batch_ids=[bid], merge_mode=merge_mode,
+               salt_buckets=salt)
         wall = time.monotonic() - t0
         cur = totals()
         d = {k: cur[k] - prev[k] for k in cur}

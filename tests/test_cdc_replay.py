@@ -67,6 +67,17 @@ def test_dedup_last_writer_wins(spark):
     assert out == {("r", "p"): (5, "v5"), ("r", "q"): (2, "w2")}
 
 
+def test_dedup_salted_two_phase_equals_single_phase(spark):
+    """Skew layer 2 (explicit salt) must be result-identical to the
+    single-phase default — on a skewed stream (one hot repo)."""
+    ev = change_events(spark, 3_000, n_repos=5, paths_per_repo=10, seed=3,
+                       skew=4.0).where("op <> 'schema'").select(
+        "event_seq", "op", "repo", "path", "commit", "lang", "content")
+    single = dedup_last_writer_wins(ev, salt_buckets=1)
+    salted = dedup_last_writer_wins(ev, salt_buckets=16)
+    assert sorted(map(tuple, single.collect())) == sorted(map(tuple, salted.collect()))
+
+
 def test_single_batch_apply_matches_oracle(spark, tmp_root):
     events = change_events(spark, 2_000, n_repos=20, paths_per_repo=30, seed=11)
     t = _new_table(spark, tmp_root)
