@@ -659,6 +659,46 @@ def q_cdc_replay(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def q_cdc_replay_mor(spark, sf_dir):
+    """Merge-on-read variant of the engine core (rows-only check): the same
+    seeded stream replayed as O(batch) delta commits with mid-replay
+    compaction, digest-reconciled against the batch oracle AND against the
+    copy-on-write replay's final state — mode changes the layout, never the
+    rows.  All classes must be MATCH."""
+    import tempfile
+
+    from data_migration_validator_spark.cdc.events import change_events, write_events_batched
+    from data_migration_validator_spark.cdc.oracle import expected_final_state
+    from data_migration_validator_spark.cdc.replay import replay
+    from data_migration_validator_spark.lake.schema import TableSchema
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    n = 4000 if "0.001" in sf_dir else 20000
+    ev = change_events(spark, n_events=n, n_repos=40, seed=42, batch_size=n // 4)
+    schema = TableSchema.from_pairs(
+        [
+            ("repo", "string"),
+            ("path", "string"),
+            ("commit", "string"),
+            ("lang", "string"),
+            ("content", "string"),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_events_batched(ev, f"{tmp}/events")
+        table = LakeTable.create(
+            spark, f"{tmp}/repo_content", schema,
+            key_cols=["repo", "path"], bucket_col="repo", num_buckets=8,
+        )
+        replay(table, f"{tmp}/events", merge_mode="mor", compact_every=2)
+        rec = R.hash_reconcile(
+            table.read(), expected_final_state(ev),
+            ["repo", "path"], ["commit", "lang", "content"],
+        )
+        out = rec.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def q_validation_summary(spark, sf_dir):
     """End-to-end persisted summary (DDLs.py:160-225, validation_sqls.py:
     24-63): run the full pipeline on the src/tgt orders pair through the
@@ -806,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_compatibility": q_schema_compatibility,
         "multimodal_features": q_multimodal_features,
         "cdc_replay": q_cdc_replay,
+        "cdc_replay_mor": q_cdc_replay_mor,
         "validation_summary": q_validation_summary,
         "anomaly_rows": q_anomaly_rows,
     }
