@@ -842,6 +842,27 @@ class LakeTable:
             .select(*[F.col(f.name) for f in cur.fields], F.col("__bucket"))
         )
 
+    def maybe_compact(self, max_delta_ratio: float = 0.3) -> dict:
+        """Policy-triggered compaction: fold deltas only for buckets whose
+        delta bytes exceed ``max_delta_ratio`` x the bucket's base bytes
+        (a bucket with no base compacts as soon as it has any delta).
+        Metadata-only decision — no scan; the trigger every sustained-ingest
+        loop wants between batches (cf. Iceberg's maintenance thresholds)."""
+        base_bytes: dict[int, int] = {}
+        for f in self.manifest["files"]:
+            base_bytes[f["bucket"]] = base_bytes.get(f["bucket"], 0) + f.get("bytes", 0)
+        delta_bytes: dict[int, int] = {}
+        for e in self.manifest.get("deltas", []):
+            delta_bytes[e["bucket"]] = delta_bytes.get(e["bucket"], 0) + e.get("bytes", 0)
+        due = sorted(
+            b
+            for b, d in delta_bytes.items()
+            if d > max_delta_ratio * base_bytes.get(b, 0)
+        )
+        if not due:
+            return {"compacted_buckets": [], "skipped": True}
+        return self.compact(buckets=due)
+
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Fold merge-on-read deltas back into base files (bucket-scoped).
 

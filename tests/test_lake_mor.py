@@ -256,6 +256,28 @@ def test_mor_replay_end_to_end_with_compaction(spark, tmp_root):
     assert again["batches_applied"] == 0 and again["batches_skipped"] == 4
 
 
+def test_mor_maybe_compact_policy(spark, tmp_root):
+    """maybe_compact folds only buckets past the delta-bytes ratio —
+    metadata-only decision, no scan of under-threshold buckets."""
+    t = _mk(spark, tmp_root)
+    t.merge(_changes(spark, BASE), batch_id=0, mode="mor")
+    # no base files at all → every delta-bearing bucket is due immediately
+    res = t.maybe_compact(max_delta_ratio=0.3)
+    assert not res["skipped"] and t.manifest["deltas"] == []
+    rows_before = t.row_count()
+    # small delta on a big base → under threshold → untouched
+    t.merge(
+        _changes(spark, [("r1", "a.py", "c1", "py", "a1", "update")]),
+        batch_id=1,
+        mode="mor",
+    )
+    res2 = t.maybe_compact(max_delta_ratio=10.0)  # generous ratio: not due
+    assert res2["skipped"] and t.manifest["deltas"]
+    res3 = t.maybe_compact(max_delta_ratio=0.0)  # any delta is due
+    assert res3["compacted_buckets"] and t.manifest["deltas"] == []
+    assert t.row_count() == rows_before
+
+
 def test_mor_count_deletes_exact(spark, tmp_root):
     t = _mk(spark, tmp_root)
     t.merge(_changes(spark, BASE), batch_id=0, mode="mor")
