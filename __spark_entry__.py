@@ -802,6 +802,54 @@ def q_anomaly_rows(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def q_table_changes(spark, sf_dir):
+    """Change data feed between two lake snapshots (Delta ``table_changes``
+    / Iceberg changelog analog; extends the reference, which has no CDF
+    surface): two deterministic customer snapshots are committed, then
+    ``LakeTable.changes`` snapshot-diffs them — ONE full-outer join on the
+    key, null-safe payload-struct comparison — into net insert /
+    update_postimage / delete rows.  The oracle recomputes the identical
+    diff in SQL directly from the source table."""
+    import tempfile
+
+    from data_migration_validator_spark.lake.schema import TableSchema
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    old = cust.where(F.col("c_custkey") % 4 < 3).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = cust.where(F.col("c_custkey") % 4 > 0).select(
+        "c_custkey",
+        "c_name",
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(100.0)).otherwise(F.lit(0.0))
+        ).alias("c_acctbal"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(
+            spark,
+            f"{tmp}/cust",
+            TableSchema.from_pairs(
+                [
+                    ("c_custkey", "bigint"),
+                    ("c_name", "string"),
+                    ("c_acctbal", "double"),
+                ]
+            ),
+            key_cols=["c_custkey"],
+            num_buckets=8,
+        )
+        t.overwrite(old)
+        since = t.manifest["seq"]
+        t.overwrite(new)
+        out = t.changes(since).orderBy("c_custkey", "_change_type")
+        # rebuild from collected rows: the tmp-dir table vanishes with the
+        # with-block, and a cache()d plan is not durable.
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -849,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor": q_cdc_replay_mor,
         "validation_summary": q_validation_summary,
         "anomaly_rows": q_anomaly_rows,
+        "table_changes": q_table_changes,
     }
 
 
@@ -1336,6 +1385,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(k) AS BIGINT) AS max_key,
                    CAST(COUNT(ost) AS BIGINT) AS n_status_vals
             FROM anom GROUP BY status ORDER BY status
+        """,
+        "table_changes": """
+            WITH old AS (
+                SELECT c_custkey, c_name, c_acctbal
+                FROM customer WHERE c_custkey % 4 < 3
+            ),
+            new AS (
+                SELECT c_custkey, c_name,
+                       c_acctbal + CASE WHEN c_custkey % 5 = 0
+                                        THEN 100.0 ELSE 0.0 END AS c_acctbal
+                FROM customer WHERE c_custkey % 4 > 0
+            )
+            SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+                   COALESCE(n.c_name, o.c_name) AS c_name,
+                   CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal
+                        ELSE n.c_acctbal END AS c_acctbal,
+                   CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                        WHEN n.c_custkey IS NULL THEN 'delete'
+                        ELSE 'update_postimage' END AS _change_type
+            FROM new n FULL OUTER JOIN old o ON n.c_custkey = o.c_custkey
+            WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+               OR n.c_acctbal IS DISTINCT FROM o.c_acctbal
+               OR n.c_name IS DISTINCT FROM o.c_name
+            ORDER BY COALESCE(n.c_custkey, o.c_custkey),
+                     CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                          WHEN n.c_custkey IS NULL THEN 'delete'
+                          ELSE 'update_postimage' END
         """,
     }
     # Probe-all IVF is exactly brute force (see q_knn_ivf docstring), so it

@@ -106,6 +106,7 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.manifest = manifest
+        self._pinned = False  # True on time-travel handles (read-only)
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -161,7 +162,34 @@ class LakeTable:
     def exists(root: str) -> bool:
         return bool(glob.glob(os.path.join(root, "_manifest", "v*.json")))
 
+    def at_version(self, seq: int) -> "LakeTable":
+        """Time-travel: a READ-ONLY handle pinned to committed snapshot
+        ``seq`` (Iceberg ``VERSION AS OF`` analog).  Every read-path method
+        (``read``, ``row_count``, ``detail``, schema access) resolves
+        against the pinned manifest; any write raises.  Valid only within
+        the retention window — :meth:`expire_snapshots` deletes old
+        manifests and the files only they reference."""
+        path = os.path.join(self.root, "_manifest", f"v{seq:08d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no committed snapshot seq={seq} under {self.root} "
+                "(never committed, or expired by expire_snapshots)"
+            )
+        with open(path) as f:
+            m = json.load(f)
+        t = LakeTable(self.spark, self.root, m)
+        t._pinned = True
+        return t
+
+    def _assert_writable(self) -> None:
+        if self._pinned:
+            raise RuntimeError(
+                "time-travel handle (at_version) is read-only; "
+                "load() the live table to write"
+            )
+
     def _write_manifest(self, manifest: dict) -> None:
+        self._assert_writable()
         seq = manifest["seq"]
         mdir = os.path.join(self.root, "_manifest")
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -388,6 +416,7 @@ class LakeTable:
         """
         from pyspark.sql import Observation
 
+        self._assert_writable()  # before any data file lands (no orphans)
         snap_dir = f"data/snap-{self.manifest['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, snap_dir)
         obs = Observation(f"rows-{snap_dir}")
@@ -455,6 +484,7 @@ class LakeTable:
         """
         from pyspark.sql import Observation
 
+        self._assert_writable()  # before any data file lands (no orphans)
         seq = self.manifest["seq"] + 1
         snap_dir = f"data/delta-{seq:08d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, snap_dir)
@@ -1128,6 +1158,83 @@ class LakeTable:
             out["num_delta_files"] = dd["num_delta_files"]
             out["delta_bytes"] = dd["delta_bytes"]
         return out
+
+    def changes(self, since_seq: int, until_seq: int | None = None) -> DataFrame:
+        """Change data feed: NET row-level changes between two committed
+        snapshots, as the current-schema columns plus ``_change_type`` ∈
+        {'insert', 'update_postimage', 'delete'} (Delta ``table_changes`` /
+        Iceberg ``create_changelog_view`` analog; net semantics — a key
+        inserted then deleted inside the window emits nothing).
+
+        Snapshot-diff plan, so it works for COW and MOR commits alike: ONE
+        full-outer join of the two snapshot reads on the key columns, with a
+        null-safe struct comparison over the payload columns deciding
+        update-vs-unchanged.  Both snapshots share the bucket layout, and
+        the join shuffles each side once — no driver-side row handling.  An
+        old snapshot written under an earlier schema id is projected to the
+        current schema by field id first (rename-safe, null-fill, widen), so
+        the feed is stable across schema evolution.
+
+        ``until_seq`` defaults to this handle's snapshot.  Both seqs must be
+        within the retention window (:meth:`expire_snapshots`)."""
+        until_seq = int(self.manifest["seq"]) if until_seq is None else until_seq
+        if since_seq > until_seq:
+            raise ValueError(f"since_seq {since_seq} > until_seq {until_seq}")
+        new_t = (
+            self
+            if until_seq == int(self.manifest["seq"])
+            else self.at_version(until_seq)
+        )
+        old_t = self.at_version(since_seq)
+        cur = new_t.schema
+        keys = self.key_cols
+        payload = [f.name for f in cur.fields if f.name not in keys]
+
+        old_df = old_t.read()
+        old_df = old_df.select(
+            *self._projection_to(cur, str(old_t.manifest["schema_id"]), old_df.columns)
+        )
+        new_df = new_t.read()
+
+        def _side(df: DataFrame, tag: str) -> DataFrame:
+            pay = (
+                F.struct(*[F.col(c) for c in payload])
+                if payload
+                else F.lit(0)  # key-only table: presence is the whole row
+            )
+            return df.select(
+                *[F.col(k).alias(f"{tag}_{k}") for k in keys],
+                pay.alias(f"{tag}_pay"),
+                F.lit(True).alias(f"{tag}_in"),
+            )
+
+        n, o = _side(new_df, "n"), _side(old_df, "o")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"n_{k}").eqNullSafe(F.col(f"o_{k}")) for k in keys],
+        )
+        j = n.join(o, cond, "full_outer")
+        ctype = (
+            F.when(F.col("o_in").isNull(), F.lit("insert"))
+            .when(F.col("n_in").isNull(), F.lit("delete"))
+            .when(
+                ~F.col("n_pay").eqNullSafe(F.col("o_pay")),
+                F.lit("update_postimage"),
+            )
+        )
+        j = j.withColumn("_change_type", ctype).where(
+            F.col("_change_type").isNotNull()
+        )
+        is_del = F.col("_change_type") == "delete"
+        out_cols = [
+            F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k) for k in keys
+        ] + [
+            F.when(is_del, F.col(f"o_pay.{c}"))
+            .otherwise(F.col(f"n_pay.{c}"))
+            .alias(c)
+            for c in payload
+        ]
+        return j.select(*out_cols, F.col("_change_type"))
 
     def history(self) -> list[dict]:
         mdir = os.path.join(self.root, "_manifest")

@@ -44,12 +44,18 @@ def start_stream(
     max_files_per_trigger: int = 4,
     salt_buckets: int = 1,
     merge_mode: str | None = None,
+    compact_ratio: float | None = None,
 ) -> StreamingQuery:
     """Tail a growing directory of event files into the lake table.
 
     ``merge_mode="mor"`` makes every micro-batch an O(batch) delta commit —
-    the sustained-ingest shape; schedule :meth:`LakeTable.compact` as
-    separate maintenance."""
+    the sustained-ingest shape.  ``compact_ratio`` enables in-loop
+    maintenance: after each committed batch, buckets whose delta bytes
+    exceed ``ratio × base bytes`` are folded back into base files
+    (:meth:`LakeTable.maybe_compact` — a metadata-only decision per batch,
+    compaction cost amortized across the stream instead of one stop-the-
+    world rewrite).  Leave ``None`` to schedule compaction as separate
+    maintenance."""
     spark = table.spark
     stream = (
         spark.readStream.schema(EVENT_STREAM_SCHEMA)
@@ -67,6 +73,8 @@ def start_stream(
             salt_buckets=salt_buckets,
             merge_mode=merge_mode,
         )
+        if compact_ratio is not None:
+            table.maybe_compact(max_delta_ratio=compact_ratio)
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -85,6 +93,7 @@ def run_stream_once(
     timeout_s: int = 600,
     salt_buckets: int = 1,
     merge_mode: str | None = None,
+    compact_ratio: float | None = None,
 ) -> None:
     """Run the stream to exhaustion of currently-available input (one
     availableNow pass) and stop.  Safe to call repeatedly: the checkpoint
@@ -98,6 +107,7 @@ def run_stream_once(
         max_files_per_trigger=max_files_per_trigger,
         salt_buckets=salt_buckets,
         merge_mode=merge_mode,
+        compact_ratio=compact_ratio,
     )
     q.awaitTermination(timeout_s)
     if q.isActive:
