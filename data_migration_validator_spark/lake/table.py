@@ -934,46 +934,87 @@ class LakeTable:
     # migration-data-validation.py:1756-1769; validation_summary.py passim)
     # ------------------------------------------------------------------ #
     def _buckets_from_predicate(self, predicate: str) -> list[int] | None:
-        """Static bucket pruning: if ``predicate`` is a conjunction that pins
-        the bucket column to literal value(s) (``src = 'x'`` / ``src IN
-        ('a','b')``), return their buckets so the discovery scan is
-        file-pruned too.  Returns None (no pruning) when the predicate can't
-        be analyzed safely — any OR or NOT (a negated equality must NOT prune
-        to the literal's bucket), or no bucket-column equality.  Numeric
-        literals must be integers: a float like ``col = 10.5`` would regex-
-        truncate to 10 and prune the wrong bucket, so it disables pruning."""
-        src = self.bucket_source
-        if re.search(r"\bOR\b|\bNOT\b|!=|<>", predicate, re.IGNORECASE):
+        """Static bucket pruning via a Catalyst expression-tree walk.
+
+        The predicate is parsed with Spark's own SQL parser; if some
+        TOP-LEVEL conjunct pins the bucket column to literal value(s)
+        (``src = lit``, ``lit = src``, ``src <=> lit``, ``src IN (lits)``),
+        return those literals' buckets so the discovery scan is file-pruned
+        up front.  Soundness: a top-level conjunct must hold for any row to
+        match, so pruning on one pinning conjunct never excludes a matching
+        row, and every OTHER conjunct shape (ranges, functions, OR/NOT
+        subtrees) is simply ignored — it can only forgo extra pruning, never
+        cause a miss.  Returns None (full scan) when nothing pins the
+        column.  The parse walk handles shapes the earlier regex sketch had
+        to bail on or missed: backticked columns, reversed operands
+        (``'x' = src``), parenthesized conjunctions, BETWEEN, and non-integer
+        literals (a float literal is cast to the column type exactly, not
+        string-truncated)."""
+        try:
+            jexpr = (
+                self.spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parseExpression(predicate)
+            )
+        except Exception:
             return None
-        lit = r"'[^']*'|\"[^\"]*\"|-?\d+(?![\d.])"
-        m = re.search(
-            rf"\b{re.escape(src)}\s*(?:==|=)\s*({lit})", predicate
-        ) or re.search(
-            rf"\b{re.escape(src)}\s+IN\s*\(\s*((?:{lit})(?:\s*,\s*(?:{lit}))*)\s*\)",
-            predicate,
-            re.IGNORECASE,
-        )
-        if not m:
+
+        def kind(e) -> str:
+            return e.getClass().getSimpleName()
+
+        def conjuncts(e):
+            if kind(e) == "And":
+                yield from conjuncts(e.left())
+                yield from conjuncts(e.right())
+            else:
+                yield e
+
+        def attr_name(e) -> str | None:
+            if kind(e) == "UnresolvedAttribute" and e.nameParts().size() == 1:
+                return str(e.nameParts().apply(0))
             return None
-        vals = re.findall(r"'[^']*'|\"[^\"]*\"|-?\d+", m.group(1))
-        if not vals:
+
+        def py_literal(e):
+            """Literal node → python value (py4j converts primitives; Spark
+            internal types like UTF8String/Decimal round-trip via str)."""
+            v = e.value()
+            if v is None or isinstance(v, (bool, int, float, str)):
+                return v
+            return str(v)
+
+        src_l = self.bucket_source.lower()
+        pinned = None
+        for c in conjuncts(jexpr):
+            k = kind(c)
+            if k in ("EqualTo", "EqualNullSafe"):
+                left, right = c.left(), c.right()
+                for a, b in ((left, right), (right, left)):
+                    name = attr_name(a)
+                    if name and name.lower() == src_l and kind(b) == "Literal":
+                        pinned = [py_literal(b)]
+                        break
+            elif k == "In":
+                name = attr_name(c.value())
+                if name and name.lower() == src_l:
+                    lst = c.list()
+                    items = [lst.apply(i) for i in range(lst.size())]
+                    if items and all(kind(i) == "Literal" for i in items):
+                        pinned = [py_literal(i) for i in items]
+            if pinned:
+                break
+        if not pinned:
             return None
-        fld = self.schema.field_by_name(src)
+
+        fld = self.schema.field_by_name(self.bucket_source)
+        type_str = fld.type if fld else "string"
         cols = [
-            self.bucket_expr_for_literal(v, fld.type if fld else "string").alias(f"b{i}")
-            for i, v in enumerate(vals)
+            F.pmod(F.xxhash64(F.lit(v).cast(type_str)), F.lit(self.num_buckets))
+            .cast("int")
+            .alias(f"b{i}")
+            for i, v in enumerate(pinned)
         ]
         row = self.spark.range(1).select(*cols).first()
         return sorted({int(b) for b in row})
-
-    def bucket_expr_for_literal(self, raw: str, type_str: str) -> F.Column:
-        """Bucket id of one SQL literal (quoted string or bare int) under
-        this table's partition spec."""
-        if raw[:1] in ("'", '"'):
-            val = F.lit(raw[1:-1]).cast(type_str)
-        else:
-            val = F.lit(int(raw)).cast(type_str)
-        return F.pmod(F.xxhash64(val), F.lit(self.num_buckets)).cast("int")
 
     def _discover_touched(self, predicate: str) -> tuple[list[int], int]:
         """ONE scan + one action: (touched buckets, matching-row count).

@@ -99,6 +99,20 @@ def test_predicate_bucket_pruning_on_bucket_column(spark, tmp_root):
     assert t._buckets_from_predicate("repo IN ('r1', 'r2')") is not None
     assert t._buckets_from_predicate("repo = 'r1' OR lang = 'py'") is None
     assert t._buckets_from_predicate("lang = 'py'") is None
+    # expression-tree walk: shapes the old regex missed or had to bail on
+    assert t._buckets_from_predicate("`repo` = 'r1'") == pruned  # backticks
+    assert t._buckets_from_predicate("'r1' = repo") == pruned  # reversed
+    assert t._buckets_from_predicate("(repo = 'r1') AND (lang = 'py')") == pruned
+    assert t._buckets_from_predicate(
+        "path BETWEEN 'a' AND 'z' AND repo = 'r1'"
+    ) == pruned  # non-pinning conjunct ignored
+    # a negated equality must NOT prune to the literal's bucket
+    assert t._buckets_from_predicate("NOT repo = 'r1'") is None
+    assert t._buckets_from_predicate("repo != 'r1'") is None
+    # ...but a NOT on ANOTHER conjunct doesn't block pruning on this one
+    assert t._buckets_from_predicate("NOT lang = 'py' AND repo = 'r1'") == pruned
+    # garbage predicates analyze to no-pruning, not an error
+    assert t._buckets_from_predicate("this is not sql") is None
     # pruned discovery gives the same answer as unpruned
     assert t.delete_where("repo = 'r1' AND path = 'a'") == 1
     assert {(r["repo"], r["path"]) for r in t.read().collect()} == {
