@@ -111,7 +111,7 @@ _GATE_STATE = "max_seq bigint"
 
 def stateful_ordering_gate(
     stream: DataFrame,
-    ttl_minutes: int | None = None,
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Per-key monotonic sequence gate: emit only events that advance the
     key's highest-seen ``event_seq``; stale redeliveries are dropped.
@@ -148,7 +148,7 @@ def stateful_ordering_gate(
             max_seq = int(fresh["event_seq"].iloc[-1])
         state.update((max_seq,))
         if ttl_minutes is not None:
-            state.setTimeoutDuration(ttl_minutes * 60_000)
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
         if len(fresh):
             fresh = fresh[payload_cols].copy()
             fresh.insert(0, "path", key[1])

@@ -89,3 +89,55 @@ def test_stream_sink_is_idempotent_across_fresh_checkpoint(spark, tmp_root):
     t2 = LakeTable.load(spark, table.root)
     assert t2.manifest["seq"] == seq1
     _assert_state_equal(t2.read(), expected_final_state(ev))
+
+
+def test_exactly_once_when_sink_crashes_after_commit(spark, tmp_root):
+    """Crash INSIDE foreachBatch after the lake commit succeeded: the
+    streaming engine replays that batch on restart (at-least-once), the
+    batch commit log recognizes the batchId and no-ops — final state is
+    exactly-once despite the redelivery."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from data_migration_validator_spark.cdc.apply import apply_batch
+    from data_migration_validator_spark.streaming.stream import EVENT_STREAM_SCHEMA
+
+    ev = change_events(spark, 2000, n_repos=15, seed=13, batch_size=500)
+    events_dir = os.path.join(tmp_root, "events")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    write_events_batched(ev, events_dir)
+    table = _new_table(spark, tmp_root)
+    crashed = {"done": False}
+
+    def sink(bdf, bid):  # foreachBatch runs driver-side: closure mutation ok
+        apply_batch(table, bdf, batch_id=f"stream-{bid}")
+        if bid == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected post-commit crash")
+
+    def start():
+        return (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .option("recursiveFileLookup", "true")
+            .parquet(events_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert crashed["done"]
+    applied_after_crash = LakeTable.load(spark, table.root).manifest["seq"]
+
+    # restart: batch 1 is redelivered, its commit is skipped, rest applies
+    q2 = start()
+    q2.awaitTermination(300)
+    if q2.isActive:
+        q2.stop()
+    final = LakeTable.load(spark, table.root)
+    assert final.manifest["seq"] > applied_after_crash
+    _assert_state_equal(final.read(), expected_final_state(ev))

@@ -186,3 +186,38 @@ def test_ordering_gate_within_batch_dedup(spark, tmp_root):
         ckpt, out, "update",
     )
     assert sorted(r["event_seq"] for r in rows) == list(range(300))
+
+
+def test_ordering_gate_ttl_evicts_state(spark, tmp_root):
+    """With a TTL, an idle key's state is evicted (bounded memory); a stale
+    redelivery AFTER eviction re-emits — the documented exactness trade."""
+    import time
+
+    events_dir = os.path.join(tmp_root, "events")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    out = os.path.join(tmp_root, "out")
+    row = [(5, "insert", "r/a", "p", "c" * 40, "py", "x", None, 0)]
+    other = [(1, "insert", "r/b", "q", "d" * 40, "py", "y", None, 0)]
+    spark.createDataFrame(row, schema=EVENT_STREAM_SCHEMA).write.mode("append").parquet(events_dir)
+
+    def run():
+        # ProcessingTimeTimeout keeps scheduling no-data batches to check
+        # timeouts, so an availableNow query with a TTL gate never
+        # self-terminates — bound each pass and stop it explicitly.
+        return _run_once(
+            stateful_ordering_gate(
+                _read_events_stream(spark, events_dir, max_files_per_trigger=10),
+                ttl_minutes=0.02,  # 1.2s
+            ),
+            ckpt, out, "update", timeout_s=30,
+        )
+
+    assert len(run()) == 1  # key r/a seen, state set with TTL
+    time.sleep(2.5)  # let the TTL lapse
+    # a batch with OTHER data fires the timeout path and evicts r/a's state
+    spark.createDataFrame(other, schema=EVENT_STREAM_SCHEMA).write.mode("append").parquet(events_dir)
+    assert len(run()) == 2
+    # stale redelivery of r/a after eviction re-emits (state was dropped)
+    spark.createDataFrame(row, schema=EVENT_STREAM_SCHEMA).write.mode("append").parquet(events_dir)
+    rows = run()
+    assert len(rows) == 3
