@@ -45,6 +45,8 @@ def start_stream(
     salt_buckets: int = 1,
     merge_mode: str | None = None,
     compact_ratio: float | None = None,
+    ordering_gate: bool = False,
+    gate_ttl_minutes: float | None = None,
 ) -> StreamingQuery:
     """Tail a growing directory of event files into the lake table.
 
@@ -55,7 +57,15 @@ def start_stream(
     (:meth:`LakeTable.maybe_compact` — a metadata-only decision per batch,
     compaction cost amortized across the stream instead of one stop-the-
     world rewrite).  Leave ``None`` to schedule compaction as separate
-    maintenance."""
+    maintenance.
+
+    ``ordering_gate=True`` interposes the stateful per-key monotonic
+    event_seq gate (:func:`..streaming.windowed.stateful_ordering_gate`)
+    between source and sink: the batch commit log already absorbs
+    whole-batch redelivery; the gate additionally drops ROW-level
+    duplicates a tailing source can re-emit under new file names (e.g. a
+    re-uploaded binlog segment).  Costs the gate's state shuffle per batch;
+    ``gate_ttl_minutes`` bounds its state (windowed.py docstring trade)."""
     spark = table.spark
     stream = (
         spark.readStream.schema(EVENT_STREAM_SCHEMA)
@@ -63,6 +73,10 @@ def start_stream(
         .option("recursiveFileLookup", "true")
         .parquet(events_dir)
     )
+    if ordering_gate:
+        from .windowed import stateful_ordering_gate
+
+        stream = stateful_ordering_gate(stream, ttl_minutes=gate_ttl_minutes)
 
     def _sink(batch_df, batch_id: int):
         apply_batch(
@@ -76,9 +90,13 @@ def start_stream(
         if compact_ratio is not None:
             table.maybe_compact(max_delta_ratio=compact_ratio)
 
+    writer = stream.writeStream.foreachBatch(_sink)
+    if ordering_gate:
+        # the stateful gate requires update mode (ignored by foreachBatch
+        # delivery itself — each batch is exactly the gate's emitted rows)
+        writer = writer.outputMode("update")
     return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
+        writer.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
@@ -94,6 +112,8 @@ def run_stream_once(
     salt_buckets: int = 1,
     merge_mode: str | None = None,
     compact_ratio: float | None = None,
+    ordering_gate: bool = False,
+    gate_ttl_minutes: float | None = None,
 ) -> None:
     """Run the stream to exhaustion of currently-available input (one
     availableNow pass) and stop.  Safe to call repeatedly: the checkpoint
@@ -108,6 +128,8 @@ def run_stream_once(
         salt_buckets=salt_buckets,
         merge_mode=merge_mode,
         compact_ratio=compact_ratio,
+        ordering_gate=ordering_gate,
+        gate_ttl_minutes=gate_ttl_minutes,
     )
     q.awaitTermination(timeout_s)
     if q.isActive:

@@ -104,7 +104,12 @@ def windowed_event_metrics(
 
 
 #: Pass-through payload of the ordering gate (input minus the grouping key).
-_GATE_PAYLOAD = "event_seq bigint, op string, commit string, lang string, content string"
+#: Carries the full event-stream shape (schema_change, batch_hint included)
+#: so the gate's output is drop-in for the ingest sink (cdc.apply_batch).
+_GATE_PAYLOAD = (
+    "event_seq bigint, op string, commit string, lang string, "
+    "content string, schema_change string, batch_hint int"
+)
 _GATE_OUTPUT = "repo string, path string, " + _GATE_PAYLOAD
 _GATE_STATE = "max_seq bigint"
 
@@ -124,7 +129,10 @@ def stateful_ordering_gate(
     an eviction a sufficiently late duplicate would re-emit — exactness vs
     bounded memory is the caller's trade (module docstring).
     """
-    payload_cols = ["event_seq", "op", "commit", "lang", "content"]
+    payload_cols = [
+        "event_seq", "op", "commit", "lang", "content",
+        "schema_change", "batch_hint",
+    ]
 
     def gate(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -141,3 +141,35 @@ def test_exactly_once_when_sink_crashes_after_commit(spark, tmp_root):
     final = LakeTable.load(spark, table.root)
     assert final.manifest["seq"] > applied_after_crash
     _assert_state_equal(final.read(), expected_final_state(ev))
+
+
+def test_ordering_gate_protects_ingest_from_row_redelivery(spark, tmp_root):
+    """A tailing source can re-emit OLD events under NEW file names (e.g. a
+    re-uploaded binlog segment).  New files mean new micro-batches with new
+    batchIds, so the batch commit log cannot catch it — and replaying stale
+    events through the LWW MERGE would overwrite newer rows.  The gated
+    pipeline drops them; the ungated one demonstrably corrupts."""
+    from data_migration_validator_spark.validation import reconcile_counts
+
+    ev = change_events(spark, 2000, n_repos=15, seed=17, batch_size=500)
+    events_dir = os.path.join(tmp_root, "events")
+    write_events_batched(ev, events_dir)
+    stale = ev.filter("event_seq < 1000")
+
+    # gated pipeline: ingest, then redeliver the first half as fresh files
+    gated = _new_table(spark, tmp_root, "gated")
+    ckpt_g = os.path.join(tmp_root, "ckpt_g")
+    run_stream_once(gated, events_dir, ckpt_g, ordering_gate=True)
+    _assert_state_equal(gated.read(), expected_final_state(ev))
+    stale.write.mode("append").parquet(os.path.join(events_dir, "redelivered"))
+    run_stream_once(gated, events_dir, ckpt_g, ordering_gate=True)
+    _assert_state_equal(gated.read(), expected_final_state(ev))
+
+    # ungated control on the SAME (now-polluted) directory: stale events
+    # replay through the MERGE and revert keys whose final event was newer
+    bare = _new_table(spark, tmp_root, "bare")
+    run_stream_once(bare, events_dir, os.path.join(tmp_root, "ckpt_b"))
+    counts = reconcile_counts(
+        expected_final_state(ev), bare.read(), key_cols=["repo", "path"]
+    ).collect()[0]
+    assert counts["mismatches"] > 0  # the failure mode the gate closes
