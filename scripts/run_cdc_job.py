@@ -4,7 +4,9 @@
         --events-dir /data/events --table-root /lake/repo_content \
         [--checkpoint-dir /lake/_checkpoints/repo_content] \
         [--lineage-root /lake/_metrics/lineage] \
-        [--mode batch|stream] [--num-buckets 32] [--salt-buckets 16]
+        [--mode batch|stream] [--num-buckets 32] [--salt-buckets 16] \
+        [--merge-mode cow|mor] [--compact-ratio 0.3] \
+        [--ordering-gate] [--gate-ttl-minutes 30]
 
 Batch mode replays all pending batches through the exactly-once commit log
 (the reference's unvalidated-COMPLETED-batch loop,
@@ -44,6 +46,16 @@ def main() -> None:
     ap.add_argument("--num-buckets", type=int, default=32)
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--count-deletes", action="store_true")
+    ap.add_argument("--merge-mode", choices=["cow", "mor"], default=None,
+                    help="MERGE strategy; mor = O(batch) delta commits")
+    ap.add_argument("--compact-ratio", type=float, default=None,
+                    help="stream mode: fold deltas back when delta bytes "
+                         "exceed ratio x base bytes (in-loop maintenance)")
+    ap.add_argument("--ordering-gate", action="store_true",
+                    help="stream mode: stateful per-key event_seq gate "
+                         "(row-level redelivery protection)")
+    ap.add_argument("--gate-ttl-minutes", type=float, default=None,
+                    help="bound gate state: evict keys idle this long")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -71,6 +83,10 @@ def main() -> None:
             args.checkpoint_dir,
             lineage=lineage,
             salt_buckets=args.salt_buckets,
+            merge_mode=args.merge_mode,
+            compact_ratio=args.compact_ratio,
+            ordering_gate=args.ordering_gate,
+            gate_ttl_minutes=args.gate_ttl_minutes,
         )
         stats = {"mode": "stream", "rows": table.row_count(), "seq": table.manifest["seq"]}
     else:
@@ -82,6 +98,7 @@ def main() -> None:
             batch_ids=pending,
             salt_buckets=args.salt_buckets,
             count_deletes=args.count_deletes,
+            merge_mode=args.merge_mode,
         )
         stats["mode"] = "batch"
     print(json.dumps(stats))

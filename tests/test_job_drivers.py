@@ -74,3 +74,45 @@ def test_validation_job_end_to_end(spark, tmp_root):
     assert row["table_family"] == "fam_t"
     assert row["final_validation_status"] == "FAILED"  # 5 src extras
     assert row["src_extras"] == 5 and row["mismatches"] == 0
+
+
+def test_cdc_job_stream_mode_with_gate_and_mor(spark, tmp_root):
+    """Stream-mode driver: availableNow pass with the ordering gate and
+    merge-on-read deltas; rerun from the same checkpoint is a no-op; a
+    row-level redelivery under new file names is absorbed by the gate."""
+    from data_migration_validator_spark.cdc import (
+        change_events,
+        expected_final_state,
+        write_events_batched,
+    )
+    from data_migration_validator_spark.lake import LakeTable
+    from data_migration_validator_spark.validation import reconcile_counts
+
+    events_dir = os.path.join(tmp_root, "events")
+    table_root = os.path.join(tmp_root, "table")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    ev = change_events(spark, 2_000, n_repos=20, seed=7, batch_size=1_000)
+    write_events_batched(ev, events_dir)
+
+    args = (
+        "--events-dir", events_dir, "--table-root", table_root,
+        "--checkpoint-dir", ckpt, "--mode", "stream",
+        "--num-buckets", "4", "--merge-mode", "mor",
+        "--ordering-gate", "--compact-ratio", "0.5",
+    )
+    out = _run("run_cdc_job.py", *args)
+    assert out[-1]["mode"] == "stream" and out[-1]["rows"] > 0
+
+    # redeliver half the stream as new files, rerun: state must not change
+    ev.filter("event_seq < 1000").write.mode("append").parquet(
+        os.path.join(events_dir, "redelivered")
+    )
+    out2 = _run("run_cdc_job.py", *args)
+    assert out2[-1]["rows"] == out[-1]["rows"]
+
+    table = LakeTable.load(spark, table_root)
+    counts = reconcile_counts(
+        expected_final_state(ev), table.read(), key_cols=["repo", "path"]
+    ).collect()[0]
+    assert counts["mismatches"] == 0
+    assert counts["src_extras"] == 0 and counts["tgt_extras"] == 0
