@@ -315,6 +315,24 @@ def q_recon_status_rows(spark, sf_dir):
     )
 
 
+def q_bucket_reconcile(spark, sf_dir):
+    """Digest-first short-circuit reconcile (validation/bucket_reconcile.py):
+    per-bucket aggregate digests first, row-level full-outer only on the
+    buckets that disagree.  Anomalies are by construction the full
+    reconcile's non-MATCH rows, so this shares recon_status_rows' oracle —
+    the scale path and the exact path must produce identical classifications."""
+    from data_migration_validator_spark.validation import bucket_reconcile
+
+    _, anomalies = bucket_reconcile(
+        _src_orders(spark, sf_dir),
+        _tgt_orders(spark, sf_dir),
+        ["o_orderkey"],
+        _ORDER_CMP,
+        n_buckets=256,
+    )
+    return anomalies.select("o_orderkey", "status").orderBy("o_orderkey")
+
+
 def q_column_mismatch_metrics(spark, sf_dir):
     """Per-column match/mismatch counters in one aggregation pass (replaces
     the reference's scalar-subquery fan-out, migration-data-validation.py:
@@ -873,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": q_union_distinct,
         "recon_counts": q_recon_counts,
         "recon_status_rows": q_recon_status_rows,
+        "bucket_reconcile": q_bucket_reconcile,
         "column_mismatch_metrics": q_column_mismatch_metrics,
         "row_level_mismatches": q_row_level_mismatches,
         "full_outer_report": q_full_outer_report,
@@ -1417,4 +1436,7 @@ def oracle_sql() -> dict[str, str]:
     # Probe-all IVF is exactly brute force (see q_knn_ivf docstring), so it
     # shares the exact-cosine oracle.
     sqls["knn_ivf"] = sqls["knn_bruteforce"]
+    # The bucket short-circuit's anomalies are exactly the full reconcile's
+    # non-MATCH rows (see q_bucket_reconcile), so it shares that oracle.
+    sqls["bucket_reconcile"] = sqls["recon_status_rows"]
     return sqls

@@ -51,6 +51,7 @@ HEADLINE = [
     "groupby_date_bucket",
     "pk_validation",
     "recon_counts",
+    "bucket_reconcile",
     "column_mismatch_metrics",
     "row_level_mismatches",
     "full_outer_report",

@@ -1,3 +1,8 @@
+from .bucket_reconcile import (  # noqa: F401
+    bucket_digests,
+    bucket_reconcile,
+    bucket_summary,
+)
 from .checks import primary_key_validation, timeline, windowed_validation  # noqa: F401
 from .reconcile import (  # noqa: F401
     annotated_comparison,

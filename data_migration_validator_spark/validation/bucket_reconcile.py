@@ -1,0 +1,151 @@
+"""Digest-first reconciliation: compare per-bucket aggregate digests, then
+run the row-level comparison ONLY on buckets whose digests disagree.
+
+The full-outer ``hash_reconcile`` (reconcile.py) shuffles BOTH tables on the
+key — at 100 TB that exchange dominates the whole validation even when the
+tables are identical, which at steady state they almost always are.  This
+module replaces the wide shuffle with:
+
+1. one narrow scan per side producing a bounded aggregate — per hash bucket
+   (``pmod(xxhash64(keys), n_buckets)``) the row count and two independent
+   60-bit XOR folds of each row's sha256 digest.  The map side collapses to
+   ≤ n_buckets rows per task (hash aggregate partials), so the only exchange
+   moves O(tasks × n_buckets) tiny rows;
+2. a driver-side compare of the two ≤ n_buckets summaries (bounded collect);
+3. the classic full-outer ``hash_reconcile`` re-run on the differing buckets
+   only — both sides filtered by the same bucket expression, so the rescan
+   shuffles just the slice that can contain anomalies.
+
+Equal multisets per bucket ⇒ equal (count, xor₁, xor₂); the converse is
+probabilistic: a differing bucket escapes detection only if its symmetric
+difference XOR-cancels in BOTH independent 60-bit folds AND matches counts —
+~2⁻¹²⁰ per bucket for non-adversarial corruption (sha256 input makes
+crafting cancellations as hard as finding structured collisions).  Exact
+duplicate-pair cancellation (a PK-violating row appearing 2k extra times)
+is caught by the row count.  Callers needing certainty re-run the exact
+reconcile; the anomalies this returns are exactly the full reconcile's
+non-MATCH rows whenever the digest pass is truthful.
+
+Reference parity: this is a scale-path alternative to getHashAnomalies
+(migration-data-validation.py:887-924), whose 4-join plan the plain
+``hash_reconcile`` already collapses to one; here the join disappears
+entirely for clean buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.digest import row_digest
+from .reconcile import hash_reconcile
+
+#: Independent 60-bit slices of the sha256 hex digest (15 hex chars each,
+#: parsed base-16 → non-negative bigint, safe for bit_xor).
+_SLICES = ((1, 15), (16, 15))
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def bucket_digests(
+    df: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-bucket (bucket, n_rows, xor1, xor2) — one narrow scan, one tiny
+    exchange (map-side partials collapse each task to ≤ n_buckets rows)."""
+    h = row_digest(list(key_cols) + list(compare_cols))
+    slices = {
+        f"__h{i}": F.conv(F.substring(h, start, width), 16, 10).cast("long")
+        for i, (start, width) in enumerate(_SLICES)
+    }
+    return (
+        df.select(_bucket_expr(key_cols, n_buckets).alias("bucket"), *[
+            e.alias(n) for n, e in slices.items()
+        ])
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("__h0").alias("xor1"),
+            F.bit_xor("__h1").alias("xor2"),
+        )
+    )
+
+
+def bucket_summary(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Full-outer join of the two bucket-digest frames: one row per bucket
+    present on either side with ``bucket_match`` = counts and both XOR folds
+    null-safe-equal.  ≤ n_buckets rows — safe to collect."""
+    if compare_cols is None:
+        compare_cols = sorted(set(src.columns) & set(tgt.columns) - set(key_cols))
+    sd = bucket_digests(src, key_cols, compare_cols, n_buckets).select(
+        "bucket",
+        F.col("n_rows").alias("src_rows"),
+        F.col("xor1").alias("src_xor1"),
+        F.col("xor2").alias("src_xor2"),
+    )
+    td = bucket_digests(tgt, key_cols, compare_cols, n_buckets).select(
+        "bucket",
+        F.col("n_rows").alias("tgt_rows"),
+        F.col("xor1").alias("tgt_xor1"),
+        F.col("xor2").alias("tgt_xor2"),
+    )
+    j = sd.join(td, on="bucket", how="full_outer")
+    match = (
+        F.col("src_rows").eqNullSafe(F.col("tgt_rows"))
+        & F.col("src_xor1").eqNullSafe(F.col("tgt_xor1"))
+        & F.col("src_xor2").eqNullSafe(F.col("tgt_xor2"))
+    )
+    return j.withColumn("bucket_match", match)
+
+
+def bucket_reconcile(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+) -> tuple[list[int], DataFrame]:
+    """Short-circuit reconcile.
+
+    Returns ``(differing_buckets, anomalies)``: the bucket ids whose
+    aggregate digests disagree, and the row-level ``hash_reconcile`` frame
+    (status != MATCH only) computed over JUST those buckets.  When the
+    tables agree, ``differing_buckets == []`` and the anomalies frame is
+    empty without either table ever being shuffled on the key.
+
+    The anomalies equal the full ``hash_reconcile``'s non-MATCH rows: a
+    bucket whose multisets agree contributes only MATCH rows, and every
+    key lands in the same bucket on both sides (same hash expression).
+    """
+    if compare_cols is None:
+        compare_cols = sorted(set(src.columns) & set(tgt.columns) - set(key_cols))
+    summary = bucket_summary(src, tgt, key_cols, compare_cols, n_buckets)
+    bad = sorted(
+        int(r["bucket"])
+        for r in summary.filter(~F.col("bucket_match")).select("bucket").collect()
+    )
+    if not bad:
+        empty = hash_reconcile(
+            src.limit(0), tgt.limit(0), key_cols, compare_cols
+        ).filter(F.lit(False))
+        return [], empty
+    b = _bucket_expr(key_cols, n_buckets)
+    anomalies = hash_reconcile(
+        src.filter(b.isin(bad)),
+        tgt.filter(b.isin(bad)),
+        key_cols,
+        compare_cols,
+    ).filter(F.col("status") != "MATCH")
+    return bad, anomalies

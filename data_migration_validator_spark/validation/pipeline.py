@@ -20,7 +20,9 @@ persists; inter-stage parallelism comes from Spark, not threads.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
+from .bucket_reconcile import _bucket_expr, bucket_summary
 from .checks import primary_key_validation
 from .quick import quick_validate
 from .reconcile import (
@@ -48,6 +50,7 @@ def run_validation(
     compare_cols: list[str] | None = None,
     date_col: str | None = None,
     quick: bool = False,
+    bucket_short_circuit: int | None = None,
 ) -> dict:
     """Run the full validation pipeline; returns a dict of report DataFrames
     plus the summary status dict under ``"summary"``.
@@ -62,6 +65,16 @@ def run_validation(
     887-1384).  Callers that materialize many reports should leave the
     annotated frame persisted until done, then
     ``reports["annotated"].unpersist()``.
+
+    ``bucket_short_circuit=N`` removes even that one join at steady state:
+    a per-bucket digest pass (validation/bucket_reconcile.py — narrow scans,
+    one ≤N-row exchange per side) finds the buckets whose multisets differ,
+    and the annotated join runs over THOSE buckets only.  Clean buckets'
+    rows are folded back into the counts/metrics/windowed reports as
+    matches (which, per the digest guarantee, they are); anomaly-row
+    reports are complete as-is because clean buckets contain none.  When
+    the tables agree the join input is empty — validation cost becomes two
+    narrow scans, whatever the table size.
     """
     spark = src.sparkSession
     if compare_cols is None:
@@ -77,22 +90,73 @@ def run_validation(
         name_type, default_compatibility_matrix(spark)
     )
 
-    ann = annotated_comparison(src, tgt, key_cols, compare_cols, date_col).persist()
+    # PK validation always scans the FULL sides: it is per-side (no join),
+    # and a same-key/different-payload duplicate pair does not cancel in the
+    # bucket digests anyway.
     pk_src = primary_key_validation(src, key_cols)
     pk_tgt = primary_key_validation(tgt, key_cols)
+
+    clean_matches = 0
+    clean_src = None  # clean-bucket slice of src (for windowed correction)
+    jsrc, jtgt = src, tgt
+    if bucket_short_circuit:
+        bs = bucket_summary(
+            src, tgt, key_cols, compare_cols, bucket_short_circuit
+        ).collect()
+        bad_ids = [int(r["bucket"]) for r in bs if not r["bucket_match"]]
+        clean_matches = sum(
+            r["src_rows"] for r in bs if r["bucket_match"] and r["src_rows"]
+        )
+        bexpr = _bucket_expr(key_cols, bucket_short_circuit)
+        if bad_ids:
+            jsrc = src.filter(bexpr.isin(bad_ids))
+            jtgt = tgt.filter(bexpr.isin(bad_ids))
+            clean_src = src.filter(~bexpr.isin(bad_ids))
+        else:
+            jsrc, jtgt = src.limit(0), tgt.limit(0)
+            clean_src = src
+
+    ann = annotated_comparison(jsrc, jtgt, key_cols, compare_cols, date_col).persist()
+
+    counts = counts_from_annotated(ann)
+    col_metrics = column_metrics_from_annotated(ann, compare_cols)
+    if bucket_short_circuit:
+        # fold clean-bucket rows back in as matches; an all-clean run has an
+        # EMPTY annotated frame whose sums are NULL — coalesce them to 0
+        def _z(c):
+            return F.coalesce(F.col(c), F.lit(0)).cast("long")
+
+        add = F.lit(clean_matches)
+        counts = counts.withColumns(
+            {
+                "matches": _z("matches") + add,
+                "mismatches": _z("mismatches"),
+                "src_extras": _z("src_extras"),
+                "tgt_extras": _z("tgt_extras"),
+            }
+        )
+        col_metrics = col_metrics.withColumns(
+            {
+                "total_overlaps": _z("total_overlaps") + add,
+                "matches": _z("matches") + add,
+                "mismatches": _z("mismatches"),
+                "src_extras": _z("src_extras"),
+                "tgt_extras": _z("tgt_extras"),
+            }
+        )
 
     reports: dict = {
         "annotated": ann,
         "ordinal": ordinal,
         "name_type": name_type,
         "compatibility": compatibility,
-        "reconcile_counts": counts_from_annotated(ann),
-        "column_metrics": column_metrics_from_annotated(ann, compare_cols),
+        "reconcile_counts": counts,
+        "column_metrics": col_metrics,
         "pk_src": pk_src,
         "pk_tgt": pk_tgt,
     }
     if quick:
-        reports["quick"] = quick_validate(src, tgt, key_cols, compare_cols)
+        reports["quick"] = quick_validate(jsrc, jtgt, key_cols, compare_cols)
     else:
         reports["mismatch_rows"] = mismatch_rows_from_annotated(
             ann, key_cols, compare_cols
@@ -101,9 +165,40 @@ def run_validation(
         reports["src_extras_rows"] = src_only
         reports["tgt_extras_rows"] = tgt_only
     if date_col is not None:
-        reports["windowed"] = windowed_from_annotated(ann)
+        windowed = windowed_from_annotated(ann)
+        if clean_src is not None:
+            # clean buckets are all-MATCH: their per-date counts (one narrow
+            # agg of src only) fold into both sides' counts
+            clean_dates = (
+                clean_src.groupBy(F.to_date(F.col(date_col)).alias("bucket_date"))
+                .agg(F.count(F.lit(1)).alias("src_count"))
+                .withColumns(
+                    {
+                        "tgt_count": F.col("src_count"),
+                        "src_extras": F.lit(0).cast("long"),
+                        "tgt_extras": F.lit(0).cast("long"),
+                        "mismatched_rows": F.lit(0).cast("long"),
+                    }
+                )
+            )
+            windowed = (
+                windowed.unionByName(clean_dates)
+                .groupBy("bucket_date")
+                .agg(
+                    F.sum("src_count").alias("src_count"),
+                    F.sum("tgt_count").alias("tgt_count"),
+                    F.sum("src_extras").alias("src_extras"),
+                    F.sum("tgt_extras").alias("tgt_extras"),
+                    F.sum("mismatched_rows").alias("mismatched_rows"),
+                )
+                .orderBy("bucket_date")
+            )
+        reports["windowed"] = windowed
 
-    reports["summary"] = summary_from_annotated(
+    summary = summary_from_annotated(
         ann, compare_cols, pk_src, pk_tgt, name_type, ordinal, compatibility
     )
+    if clean_matches:
+        summary["matches"] += clean_matches
+    reports["summary"] = summary
     return reports

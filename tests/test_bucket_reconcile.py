@@ -1,0 +1,93 @@
+"""Digest-first bucket reconcile: short-circuit equality on aggregate
+digests, row-level comparison only on differing buckets."""
+
+from pyspark.sql import functions as F
+
+from data_migration_validator_spark.validation import (
+    bucket_reconcile,
+    bucket_summary,
+    hash_reconcile,
+)
+from data_migration_validator_spark.validation.bucket_reconcile import bucket_digests
+
+KEYS = ["k1", "k2"]
+CMP = ["v1", "v2"]
+
+
+def _frames(spark):
+    src = spark.createDataFrame(
+        [(i, f"g{i % 7}", f"val{i}", float(i)) for i in range(500)],
+        "k1 long, k2 string, v1 string, v2 double",
+    )
+    # tgt: drop 3 keys, add 2 new, corrupt 4 values
+    tgt = (
+        src.filter(~F.col("k1").isin(11, 99, 250))
+        .withColumn(
+            "v1",
+            F.when(F.col("k1").isin(5, 123, 321, 480), F.lit("CORRUPT")).otherwise(
+                F.col("v1")
+            ),
+        )
+    )
+    extra = spark.createDataFrame(
+        [(1000, "gx", "new", 0.0), (1001, "gy", "new", 1.0)],
+        "k1 long, k2 string, v1 string, v2 double",
+    )
+    return src, tgt.unionByName(extra)
+
+
+def test_anomalies_equal_full_reconcile(spark):
+    src, tgt = _frames(spark)
+    bad, anomalies = bucket_reconcile(src, tgt, KEYS, CMP, n_buckets=64)
+    assert bad  # 9 anomalous keys must dirty at least one bucket
+    got = {(r["k1"], r["k2"], r["status"]) for r in anomalies.collect()}
+    full = hash_reconcile(src, tgt, KEYS, CMP).filter(F.col("status") != "MATCH")
+    want = {(r["k1"], r["k2"], r["status"]) for r in full.collect()}
+    assert got == want
+    assert len(want) == 3 + 2 + 4  # SRC_EXTRA + TGT_EXTRA + MISMATCH
+
+
+def test_identical_tables_short_circuit(spark):
+    src, _ = _frames(spark)
+    tgt = src.select(*src.columns)
+    bad, anomalies = bucket_reconcile(src, tgt, KEYS, CMP, n_buckets=64)
+    assert bad == []
+    assert anomalies.count() == 0
+    summary = bucket_summary(src, tgt, KEYS, CMP, n_buckets=64)
+    rows = summary.collect()
+    assert rows and all(r["bucket_match"] for r in rows)
+    assert sum(r["src_rows"] for r in rows) == 500
+
+
+def test_digest_pass_is_one_narrow_exchange(spark):
+    """The scale contract: the digest pass shuffles ≤ n_buckets aggregate
+    rows, never the table — exactly one Exchange in the plan, and it is the
+    groupBy(bucket) partial-aggregate exchange (no Join at all)."""
+    src, _ = _frames(spark)
+    plan = (
+        bucket_digests(src, KEYS, CMP, n_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_duplicate_rows_caught_by_row_count(spark):
+    """An identical row duplicated an even number of times XOR-cancels, but
+    the per-bucket row count still flags the bucket — the digest pass is
+    MORE sensitive than the row-level reconcile, whose full-outer join
+    classifies exact duplicate keys as MATCH."""
+    src, _ = _frames(spark)
+    dup = src.filter("k1 = 42")
+    tgt = src.unionByName(dup).unionByName(dup)  # +2 identical copies
+    bad, anomalies = bucket_reconcile(src, tgt, KEYS, CMP, n_buckets=64)
+    assert bad  # count mismatch flags the bucket
+    # row-level reconcile is blind to exact-duplicate keys (both full and
+    # bucketed agree on that): anomalies stay empty, the summary does not
+    assert anomalies.count() == 0
+    summary = bucket_summary(src, tgt, KEYS, CMP, n_buckets=64)
+    flagged = summary.filter(~F.col("bucket_match")).collect()
+    assert len(flagged) == 1
+    assert flagged[0]["tgt_rows"] == flagged[0]["src_rows"] + 2

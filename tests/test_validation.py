@@ -258,3 +258,75 @@ def test_run_validation_single_join_plan(pair):
             assert "Join" not in above_cache, name
     finally:
         reports["annotated"].unpersist()
+
+
+def _report_rows(df, sort_cols):
+    return [tuple(r) for r in df.orderBy(*sort_cols).collect()]
+
+
+def test_run_validation_bucket_short_circuit_equivalence(spark):
+    """bucket_short_circuit=N must reproduce the full pipeline's reports
+    exactly — counts, column metrics, anomaly rows, windowed buckets, and
+    the summary — while joining only the dirty buckets."""
+    from data_migration_validator_spark.validation import run_validation
+
+    src = spark.createDataFrame(
+        [(i, f"a{i}", f"b{i}", f"2024-01-{(i % 5) + 1:02d}") for i in range(1, 200)],
+        "id long, a string, b string, d string",
+    )
+    tgt = (
+        src.filter("id not in (7, 90)")  # 2 src-extras
+        .withColumn("b", F.when(F.col("id").isin(3, 50), F.lit("CORRUPT")).otherwise(F.col("b")))
+        .unionByName(
+            spark.createDataFrame(
+                [(500, "a500", "b500", "2024-01-03")],
+                "id long, a string, b string, d string",
+            )
+        )  # 1 tgt-extra
+    )
+    full = run_validation(src, tgt, ["id"], date_col="d")
+    fast = run_validation(src, tgt, ["id"], date_col="d", bucket_short_circuit=32)
+    try:
+        assert fast["summary"] == full["summary"]
+        for name, sort_cols in (
+            ("reconcile_counts", ["matches"]),
+            ("column_metrics", ["column_name"]),
+            ("mismatch_rows", ["id", "side"]),
+            ("src_extras_rows", ["id"]),
+            ("tgt_extras_rows", ["id"]),
+            ("windowed", ["bucket_date"]),
+        ):
+            assert _report_rows(fast[name], sort_cols) == _report_rows(
+                full[name], sort_cols
+            ), name
+        # the short-circuit join saw only the dirty slice
+        assert fast["annotated"].count() < full["annotated"].count()
+    finally:
+        full["annotated"].unpersist()
+        fast["annotated"].unpersist()
+
+
+def test_run_validation_bucket_short_circuit_identical_tables(spark):
+    """Identical tables: the join input is EMPTY (two narrow digest scans
+    decide the whole validation) and the summary still reports every match."""
+    from data_migration_validator_spark.validation import run_validation
+
+    src = spark.createDataFrame(
+        [(i, f"a{i}", f"2024-02-{(i % 3) + 1:02d}") for i in range(300)],
+        "id long, a string, d string",
+    )
+    tgt = src.select(*src.columns)
+    fast = run_validation(src, tgt, ["id"], date_col="d", bucket_short_circuit=64)
+    try:
+        assert fast["annotated"].count() == 0  # no row ever joined
+        assert fast["summary"]["validation_status"] == "SUCCESS"
+        assert fast["summary"]["matches"] == 300
+        counts = fast["reconcile_counts"].collect()[0]
+        assert (counts["matches"], counts["mismatches"],
+                counts["src_extras"], counts["tgt_extras"]) == (300, 0, 0, 0)
+        win = {r["bucket_date"].isoformat(): r for r in fast["windowed"].collect()}
+        assert sum(r["src_count"] for r in win.values()) == 300
+        assert all(r["src_count"] == r["tgt_count"] for r in win.values())
+        assert all(r["mismatched_rows"] == 0 for r in win.values())
+    finally:
+        fast["annotated"].unpersist()
