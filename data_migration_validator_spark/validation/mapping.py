@@ -130,6 +130,7 @@ def run_mappings(
     anomaly_table: LakeTable | None = None,
     windowed_table: LakeTable | None = None,
     pk_table: LakeTable | None = None,
+    bucket_short_circuit: int | None = None,
 ) -> dict[str, dict]:
     """Validate every active configured pair; returns {table_family: reports}.
 
@@ -173,6 +174,7 @@ def run_mappings(
                 compare_cols=m.compare_cols,
                 date_col=m.date_col,
                 quick=m.quick,
+                bucket_short_circuit=bucket_short_circuit,
             )
             summary = reports["summary"]
             _log("validate", summary["validation_status"])

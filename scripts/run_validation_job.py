@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--metrics-root", required=True)
     ap.add_argument("--run-id", required=True)
+    ap.add_argument("--bucket-short-circuit", type=int, default=None,
+                    help="digest-first reconcile with N buckets: the wide "
+                         "src x tgt join runs only over buckets whose "
+                         "aggregate digests differ")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -62,6 +66,7 @@ def main() -> None:
         anomaly_table=anomaly_t,
         windowed_table=windowed_t,
         pk_table=pk_t,
+        bucket_short_circuit=args.bucket_short_circuit,
     )
 
     from pyspark.sql import functions as F

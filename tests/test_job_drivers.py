@@ -75,6 +75,19 @@ def test_validation_job_end_to_end(spark, tmp_root):
     assert row["final_validation_status"] == "FAILED"  # 5 src extras
     assert row["src_extras"] == 5 and row["mismatches"] == 0
 
+    # same pair through the digest-first short-circuit path: identical verdict
+    out_sc = _run(
+        "run_validation_job.py",
+        "--mapping-csv", mapping_csv,
+        "--data-dir", data_dir,
+        "--metrics-root", os.path.join(tmp_root, "metrics_sc"),
+        "--run-id", "r2",
+        "--bucket-short-circuit", "64",
+    )
+    row_sc = out_sc[-1]
+    assert row_sc["final_validation_status"] == "FAILED"
+    assert row_sc["src_extras"] == 5 and row_sc["mismatches"] == 0
+
 
 def test_cdc_job_stream_mode_with_gate_and_mor(spark, tmp_root):
     """Stream-mode driver: availableNow pass with the ordering gate and
