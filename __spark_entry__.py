@@ -315,6 +315,21 @@ def q_recon_status_rows(spark, sf_dir):
     )
 
 
+def q_bucket_reconcile_clean(spark, sf_dir):
+    """Steady-state shape of the digest short-circuit: identical tables →
+    zero differing buckets → empty anomalies WITHOUT any src×tgt shuffle
+    (two narrow digest scans decide the validation).  Bench entry shows the
+    cost profile; the oracle is the same classification SQL on an identical
+    pair (empty set)."""
+    from data_migration_validator_spark.validation import bucket_reconcile
+
+    t = _tgt_orders(spark, sf_dir)
+    _, anomalies = bucket_reconcile(
+        t, t.select(*t.columns), ["o_orderkey"], _ORDER_CMP, n_buckets=256
+    )
+    return anomalies.select("o_orderkey", "status").orderBy("o_orderkey")
+
+
 def q_bucket_reconcile(spark, sf_dir):
     """Digest-first short-circuit reconcile (validation/bucket_reconcile.py):
     per-bucket aggregate digests first, row-level full-outer only on the
@@ -892,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recon_counts": q_recon_counts,
         "recon_status_rows": q_recon_status_rows,
         "bucket_reconcile": q_bucket_reconcile,
+        "bucket_reconcile_clean": q_bucket_reconcile_clean,
         "column_mismatch_metrics": q_column_mismatch_metrics,
         "row_level_mismatches": q_row_level_mismatches,
         "full_outer_report": q_full_outer_report,
@@ -1439,4 +1455,10 @@ def oracle_sql() -> dict[str, str]:
     # The bucket short-circuit's anomalies are exactly the full reconcile's
     # non-MATCH rows (see q_bucket_reconcile), so it shares that oracle.
     sqls["bucket_reconcile"] = sqls["recon_status_rows"]
+    # Identical pair → empty classification (steady-state short-circuit).
+    sqls["bucket_reconcile_clean"] = f"""
+        WITH t AS ({tgt})
+        SELECT o_orderkey, CAST(NULL AS VARCHAR) AS status
+        FROM t WHERE FALSE
+    """
     return sqls

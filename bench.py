@@ -52,6 +52,7 @@ HEADLINE = [
     "pk_validation",
     "recon_counts",
     "bucket_reconcile",
+    "bucket_reconcile_clean",
     "column_mismatch_metrics",
     "row_level_mismatches",
     "full_outer_report",
