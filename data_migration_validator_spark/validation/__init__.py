@@ -2,6 +2,7 @@ from .bucket_reconcile import (  # noqa: F401
     bucket_digests,
     bucket_reconcile,
     bucket_summary,
+    lake_bucket_reconcile,
 )
 from .checks import primary_key_validation, timeline, windowed_validation  # noqa: F401
 from .reconcile import (  # noqa: F401

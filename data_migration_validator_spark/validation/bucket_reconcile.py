@@ -56,16 +56,23 @@ def bucket_digests(
     key_cols: list[str],
     compare_cols: list[str],
     n_buckets: int = 1024,
+    bucket_expr: F.Column | None = None,
 ) -> DataFrame:
     """Per-bucket (bucket, n_rows, xor1, xor2) — one narrow scan, one tiny
-    exchange (map-side partials collapse each task to ≤ n_buckets rows)."""
+    exchange (map-side partials collapse each task to ≤ n_buckets rows).
+
+    ``bucket_expr`` overrides the default key-hash bucketing; it must be a
+    deterministic function of the key columns (e.g. a LakeTable's own
+    layout expression) so a key lands in the same bucket on both sides."""
+    if bucket_expr is None:
+        bucket_expr = _bucket_expr(key_cols, n_buckets)
     h = row_digest(list(key_cols) + list(compare_cols))
     slices = {
         f"__h{i}": F.conv(F.substring(h, start, width), 16, 10).cast("long")
         for i, (start, width) in enumerate(_SLICES)
     }
     return (
-        df.select(_bucket_expr(key_cols, n_buckets).alias("bucket"), *[
+        df.select(bucket_expr.cast("int").alias("bucket"), *[
             e.alias(n) for n, e in slices.items()
         ])
         .groupBy("bucket")
@@ -83,19 +90,20 @@ def bucket_summary(
     key_cols: list[str],
     compare_cols: list[str] | None = None,
     n_buckets: int = 1024,
+    bucket_expr: F.Column | None = None,
 ) -> DataFrame:
     """Full-outer join of the two bucket-digest frames: one row per bucket
     present on either side with ``bucket_match`` = counts and both XOR folds
     null-safe-equal.  ≤ n_buckets rows — safe to collect."""
     if compare_cols is None:
         compare_cols = sorted(set(src.columns) & set(tgt.columns) - set(key_cols))
-    sd = bucket_digests(src, key_cols, compare_cols, n_buckets).select(
+    sd = bucket_digests(src, key_cols, compare_cols, n_buckets, bucket_expr).select(
         "bucket",
         F.col("n_rows").alias("src_rows"),
         F.col("xor1").alias("src_xor1"),
         F.col("xor2").alias("src_xor2"),
     )
-    td = bucket_digests(tgt, key_cols, compare_cols, n_buckets).select(
+    td = bucket_digests(tgt, key_cols, compare_cols, n_buckets, bucket_expr).select(
         "bucket",
         F.col("n_rows").alias("tgt_rows"),
         F.col("xor1").alias("tgt_xor1"),
@@ -145,6 +153,52 @@ def bucket_reconcile(
     anomalies = hash_reconcile(
         src.filter(b.isin(bad)),
         tgt.filter(b.isin(bad)),
+        key_cols,
+        compare_cols,
+    ).filter(F.col("status") != "MATCH")
+    return bad, anomalies
+
+
+def lake_bucket_reconcile(
+    table,
+    src: DataFrame,
+    compare_cols: list[str] | None = None,
+) -> tuple[list[int], DataFrame]:
+    """Short-circuit reconcile of a :class:`~..lake.table.LakeTable` against
+    a source DataFrame, aligned with the TABLE'S OWN bucket layout.
+
+    The digest bucket is the table's storage bucket expression
+    (``pmod(xxhash64(bucket_source), num_buckets)``) — a deterministic
+    function of the key (``bucket_source`` is a key column), so both sides
+    agree.  The payoff over the generic :func:`bucket_reconcile`: the
+    dirty-bucket rescan on the table side goes through
+    ``table.read(buckets=bad)``, which prunes at FILE level — only the
+    differing buckets' files are ever re-read, instead of a full second
+    scan with a post-hoc filter.  The src side (external system, arbitrary
+    DataFrame) is filtered by the same expression.
+    """
+    key_cols = list(table.key_cols)
+    if compare_cols is None:
+        compare_cols = sorted(
+            set(src.columns) & {f.name for f in table.schema.fields} - set(key_cols)
+        )
+    n = table.num_buckets
+    bexpr = table.bucket_expr()
+    summary = bucket_summary(
+        src, table.read(), key_cols, compare_cols, n, bucket_expr=bexpr
+    )
+    bad = sorted(
+        int(r["bucket"])
+        for r in summary.filter(~F.col("bucket_match")).select("bucket").collect()
+    )
+    if not bad:
+        empty = hash_reconcile(
+            src.limit(0), table.read().limit(0), key_cols, compare_cols
+        ).filter(F.lit(False))
+        return [], empty
+    anomalies = hash_reconcile(
+        src.filter(bexpr.isin(bad)),
+        table.read(buckets=bad),  # file-pruned: only dirty buckets' files
         key_cols,
         compare_cols,
     ).filter(F.col("status") != "MATCH")

@@ -91,3 +91,36 @@ def test_duplicate_rows_caught_by_row_count(spark):
     flagged = summary.filter(~F.col("bucket_match")).collect()
     assert len(flagged) == 1
     assert flagged[0]["tgt_rows"] == flagged[0]["src_rows"] + 2
+
+
+def test_lake_bucket_reconcile_uses_table_layout(spark, tmp_path):
+    """Layout-aligned variant: digests bucketed by the table's own
+    expression, dirty-bucket rescan file-pruned through read(buckets=...)."""
+    from data_migration_validator_spark.lake import LakeTable
+    from data_migration_validator_spark.validation import lake_bucket_reconcile
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        [("repo", "string"), ("path", "string"), ("content", "string")],
+        key_cols=["repo", "path"], num_buckets=8,
+    )
+    rows = [(f"r{i % 20}", f"p{i}", f"c{i}") for i in range(400)]
+    t.append(spark.createDataFrame(rows, "repo string, path string, content string"))
+
+    src_rows = [
+        (r, p, "TAMPERED" if (r, p) == ("r3", "p3") else c) for r, p, c in rows
+    ] + [("r99", "pX", "extra")]
+    src = spark.createDataFrame(src_rows, "repo string, path string, content string")
+
+    bad, anomalies = lake_bucket_reconcile(t, src)
+    assert bad and len(bad) <= 2  # tampered repo r3's bucket + extra's bucket
+    got = {(r["repo"], r["path"], r["status"]) for r in anomalies.collect()}
+    assert got == {("r3", "p3", "MISMATCH"), ("r99", "pX", "SRC_EXTRA")}
+
+    # clean case: empty anomalies, no dirty buckets
+    bad2, anomalies2 = lake_bucket_reconcile(t, t.read())
+    assert bad2 == [] and anomalies2.count() == 0
+
+    # all of r3's keys share the storage bucket (bucket_source = repo), so
+    # the dirty rescan touches at most 2 of the 8 buckets' files
+    assert len(set(bad)) <= 2
