@@ -173,3 +173,33 @@ def test_ordering_gate_protects_ingest_from_row_redelivery(spark, tmp_root):
         expected_final_state(ev), bare.read(), key_cols=["repo", "path"]
     ).collect()[0]
     assert counts["mismatches"] > 0  # the failure mode the gate closes
+
+
+def test_gated_stream_applies_schema_evolution(spark, tmp_root):
+    """Schema events ride THROUGH the ordering gate (they group under the
+    (null, null) key; their seqs advance monotonically) and still drive
+    add/rename/widen in the sink."""
+    ev = change_events(
+        spark, 1200, n_repos=8, seed=44, batch_size=300,
+        schema_change_at={
+            300: '{"action":"add_column","name":"stars","type":"int"}',
+            600: '{"action":"rename_column","from":"lang","to":"language"}',
+            900: '{"action":"widen_type","name":"stars","to":"bigint"}',
+        },
+    )
+    events_dir = os.path.join(tmp_root, "events")
+    write_events_batched(ev, events_dir)
+    table = _new_table(spark, tmp_root)
+    run_stream_once(
+        table, events_dir, os.path.join(tmp_root, "ckpt"), ordering_gate=True
+    )
+    cols = table.read().columns
+    assert "language" in cols and "lang" not in cols and "stars" in cols
+    oracle = expected_final_state(ev).withColumnRenamed("lang", "language")
+    counts = reconcile_counts(
+        oracle,
+        table.read().select("repo", "path", "commit", "language", "content"),
+        key_cols=["repo", "path"],
+    ).collect()[0]
+    assert counts["mismatches"] == 0, counts
+    assert counts["src_extras"] == 0 and counts["tgt_extras"] == 0
