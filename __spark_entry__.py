@@ -528,6 +528,23 @@ def q_knn_ivf(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-duplicate pairs over the corpus — the
+    fifth dedup leg (exact hash / minhash / simhash / n-gram Jaccard /
+    embedding cosine).  Triangle block decomposition: B(B+1)/2 balanced
+    block-pair tasks instead of a cross join (see
+    operators/similarity.cosine_near_dup_exact).  Pair-id output only — the
+    threshold sits 1e-5 clear of every pair at all SFs, so membership is
+    float-robust while the cosine value itself never reaches the hash."""
+    from data_migration_validator_spark.operators.similarity import (
+        cosine_near_dup_exact,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    out = cosine_near_dup_exact(e, "vec_id", "embedding", threshold=0.40, n_blocks=8)
+    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only check:
     the xxhash64 family has no DuckDB equivalent)."""
@@ -921,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1289,6 +1307,19 @@ def oracle_sql() -> dict[str, str]:
                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
                    label
             FROM embeddings ORDER BY vec_id
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cosine
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b FROM p WHERE cosine >= 0.40 ORDER BY id_a, id_b
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

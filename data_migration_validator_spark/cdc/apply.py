@@ -209,6 +209,7 @@ def apply_batch(
     salt_buckets: int = 1,
     count_deletes: bool = False,
     merge_mode: str | None = None,
+    quarantine: LakeTable | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``.
 
@@ -227,16 +228,30 @@ def apply_batch(
     events; no change-set cache, no existing-table scan.  That is the shape
     a 10^10-event ingest needs: per-batch cost O(batch), serial driver work
     one action's planning.
+
+    ``quarantine``: optional dead-letter LakeTable (``cdc.quarantine``).
+    When given, malformed events (unknown op, null key, empty payload) are
+    tagged declaratively, EXCLUDED from the DML path, counted inside the
+    batch's existing fused stats action, and — only when the count is
+    non-zero — upserted into the quarantine table keyed by
+    (batch_id, event_seq), so crash-retry redelivery is exactly-once.
+    Without it, out-of-contract ops are dropped silently (the historical
+    trusted-fixture behavior) and null-key DML flows through.
     """
     t0 = time.monotonic()
     if batch_id is not None and table.has_batch(batch_id):
         return {"skipped": True, "batch_id": batch_id}
+    if quarantine is not None:
+        from .quarantine import classify_events
+
+        events = classify_events(events)
     merge_mode = merge_mode or table.manifest["properties"].get(
         "write.merge.mode", "cow"
     )
     if merge_mode == "mor":
         return _apply_batch_mor(
-            table, events, batch_id, lineage, salt_buckets, count_deletes, t0
+            table, events, batch_id, lineage, salt_buckets, count_deletes, t0,
+            quarantine=quarantine,
         )
 
     # 1. DML: salted last-writer-wins dedup (schema-agnostic — it works on
@@ -245,6 +260,8 @@ def apply_batch(
     #    downstream action reuses it instead of re-running the salted
     #    two-phase shuffle.
     dml = events.filter(F.col("op").isin("insert", "update", "delete"))
+    if quarantine is not None:
+        dml = dml.filter(F.col("dlq_reason").isNull())
     deduped = dedup_last_writer_wins(
         dml.select("event_seq", "op", "repo", "path", "commit", "lang", "content"),
         key_cols=list(table.key_cols),
@@ -284,12 +301,39 @@ def apply_batch(
             F.lit(None).cast("long").alias("n_del"),
             "schema_change",
         )
-        combined = bucket_stats_df.unionByName(schema_df).collect()
+        combined_df = bucket_stats_df.unionByName(schema_df)
+        if quarantine is not None:
+            # Bad-row count rides the SAME fused action — the quarantine
+            # upsert job below only launches when it lands non-zero.
+            dlq_count_df = (
+                events.filter(F.col("dlq_reason").isNotNull())
+                .agg(F.count("*").alias("n_up"))
+                .select(
+                    F.lit("dlq").alias("kind"),
+                    F.lit(None).cast("int").alias("__bucket"),
+                    F.lit(None).cast("long").alias("first_event_seq"),
+                    F.lit(None).cast("long").alias("last_event_seq"),
+                    "n_up",
+                    F.lit(None).cast("long").alias("n_del"),
+                    F.lit(None).cast("string").alias("schema_change"),
+                )
+            )
+            combined_df = combined_df.unionByName(dlq_count_df)
+        combined = combined_df.collect()
         bucket_stats = [r for r in combined if r["kind"] == "stats"]
         sc_rows = sorted(
             (r for r in combined if r["kind"] == "schema"),
             key=lambda r: r["first_event_seq"],
         )
+        n_quarantined = sum(
+            int(r["n_up"]) for r in combined if r["kind"] == "dlq"
+        )
+        if quarantine is not None and n_quarantined:
+            from .quarantine import quarantine_rows
+
+            quarantine.merge(
+                quarantine_rows(events, batch_id), count_deletes=False
+            )
 
         # 3. schema evolution (rare; applied driver-side, BEFORE the change
         #    projection below is constructed against the current schema).
@@ -364,22 +408,51 @@ def _apply_batch_mor(
     salt_buckets: int,
     count_deletes: bool,
     t0: float,
+    quarantine: LakeTable | None = None,
 ) -> dict:
     """MOR fast path: schema events via one footer-pruned collect (the
     ``schema_change`` column is almost-all-null, so parquet row-group null
     stats skip nearly every page), then dedup → delta write as ONE action —
-    bucket stats and lineage offsets ride the write via ``observe``."""
+    bucket stats and lineage offsets ride the write via ``observe``.
+
+    With ``quarantine``, the bad-row count rides the same footer-pruned
+    collect (a union of two near-empty aggregates, still one job); the
+    quarantine upsert launches only when it lands non-zero."""
+    sc_frame = events.filter(F.col("schema_change").isNotNull()).select(
+        F.lit("schema").alias("kind"), "event_seq", "schema_change"
+    )
+    if quarantine is not None:
+        dlq_frame = (
+            events.filter(F.col("dlq_reason").isNotNull())
+            .agg(F.count("*").alias("event_seq"))
+            .select(
+                F.lit("dlq").alias("kind"),
+                F.col("event_seq").cast("long"),
+                F.lit(None).cast("string").alias("schema_change"),
+            )
+        )
+        sc_frame = sc_frame.unionByName(dlq_frame)
+    combined = sc_frame.collect()
     sc_rows = sorted(
-        events.filter(F.col("schema_change").isNotNull())
-        .select("event_seq", "schema_change")
-        .collect(),
+        (r for r in combined if r["kind"] == "schema"),
         key=lambda r: r["event_seq"],
     )
     schema_applied = _apply_schema_changes(
         table, [json.loads(r["schema_change"]) for r in sc_rows]
     )
+    n_quarantined = sum(
+        int(r["event_seq"]) for r in combined if r["kind"] == "dlq"
+    )
+    if quarantine is not None and n_quarantined:
+        from .quarantine import quarantine_rows
+
+        quarantine.merge(
+            quarantine_rows(events, batch_id), count_deletes=False
+        )
 
     dml = events.filter(F.col("op").isin("insert", "update", "delete"))
+    if quarantine is not None:
+        dml = dml.filter(F.col("dlq_reason").isNull())
     # Dedup and layout share ONE exchange: the change-set leaves the dedup
     # already partitioned and sorted by __bucket (salted within bucket for
     # balance), so the delta write repartitions nothing.

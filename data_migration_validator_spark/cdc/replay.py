@@ -41,6 +41,7 @@ def replay(
     count_deletes: bool = False,
     merge_mode: str | None = None,
     compact_every: int | None = None,
+    quarantine: LakeTable | None = None,
 ) -> dict:
     """Replay batched events (written by ``write_events_batched``) in order.
 
@@ -73,6 +74,7 @@ def replay(
             salt_buckets=salt_buckets,
             count_deletes=count_deletes,
             merge_mode=merge_mode,
+            quarantine=quarantine,
         )
         if stats.get("skipped"):
             n_skipped += 1

@@ -10,6 +10,9 @@
   hash tables trade recall for cost.
 - :func:`cosine_near_dup_pairs` — embedding-cosine near-duplicate detection
   (dedup use-case): LSH-bucketed self-join + threshold.
+- :func:`cosine_near_dup_exact` — the exact all-pairs leg of the same
+  operator, tiled into B(B+1)/2 balanced block-pair tasks (oracle-checkable;
+  the LSH form above is the recall/cost trade at scale).
 - :func:`ivf_topk` — IVF (inverted-file) ANN: a k-means coarse quantizer
   trained on a bounded deterministic sample partitions the corpus into
   centroid lists; each query probes only its ``n_probe`` nearest lists.
@@ -197,6 +200,58 @@ def cosine_near_dup_pairs(
         .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_near_dup_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    The correctness baseline for :func:`cosine_near_dup_pairs` (LSH is the
+    scale path; this is the exact leg, also the right tool when the corpus
+    is small enough that O(n²/P) per task is affordable).
+
+    Scale shape — triangle block decomposition, not a cross join: each
+    vector hashes to one of ``n_blocks`` blocks, the B(B+1)/2 unordered
+    block pairs become the join key, and both sides replicate ~B/2× via a
+    broadcast of the tiny block-pair grid.  The comparison work lands in
+    B(B+1)/2 equal-size, independent reduce groups (pick B ≈ √parallelism),
+    so no task ever holds more than (2n/B) vectors — the all-pairs square
+    is tiled, never materialized on one node.  Same-block pairs are ordered
+    by id, cross-block pairs by block, so every unordered pair is produced
+    exactly once (no ``distinct``).
+    """
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), blk.alias("__blk")
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    a = base.select(
+        F.col("__id").alias("__ida"), F.col("__v").alias("__va"),
+        F.col("__blk").alias("bi"),
+    ).join(F.broadcast(grid), on="bi")
+    b = base.select(
+        F.col("__id").alias("__idb"), F.col("__v").alias("__vb"),
+        F.col("__blk").alias("bj"),
+    ).join(F.broadcast(grid), on="bj")
+    pairs = (
+        a.join(b, on=["bi", "bj"])
+        .filter((F.col("bi") < F.col("bj")) | (F.col("__ida") < F.col("__idb")))
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select(
+        F.least("__ida", "__idb").alias("id_a"),
+        F.greatest("__ida", "__idb").alias("id_b"),
+        "cosine",
     )
 
 

@@ -47,6 +47,7 @@ def start_stream(
     compact_ratio: float | None = None,
     ordering_gate: bool = False,
     gate_ttl_minutes: float | None = None,
+    quarantine: LakeTable | None = None,
 ) -> StreamingQuery:
     """Tail a growing directory of event files into the lake table.
 
@@ -65,7 +66,11 @@ def start_stream(
     whole-batch redelivery; the gate additionally drops ROW-level
     duplicates a tailing source can re-emit under new file names (e.g. a
     re-uploaded binlog segment).  Costs the gate's state shuffle per batch;
-    ``gate_ttl_minutes`` bounds its state (windowed.py docstring trade)."""
+    ``gate_ttl_minutes`` bounds its state (windowed.py docstring trade).
+
+    ``quarantine``: dead-letter LakeTable (``cdc.quarantine``) — malformed
+    events are split out per micro-batch and upserted exactly-once keyed by
+    (batch_id, event_seq); only clean DML reaches the MERGE."""
     spark = table.spark
     stream = (
         spark.readStream.schema(EVENT_STREAM_SCHEMA)
@@ -86,6 +91,7 @@ def start_stream(
             lineage=lineage,
             salt_buckets=salt_buckets,
             merge_mode=merge_mode,
+            quarantine=quarantine,
         )
         if compact_ratio is not None:
             table.maybe_compact(max_delta_ratio=compact_ratio)
@@ -114,6 +120,7 @@ def run_stream_once(
     compact_ratio: float | None = None,
     ordering_gate: bool = False,
     gate_ttl_minutes: float | None = None,
+    quarantine: LakeTable | None = None,
 ) -> None:
     """Run the stream to exhaustion of currently-available input (one
     availableNow pass) and stop.  Safe to call repeatedly: the checkpoint
@@ -130,6 +137,7 @@ def run_stream_once(
         compact_ratio=compact_ratio,
         ordering_gate=ordering_gate,
         gate_ttl_minutes=gate_ttl_minutes,
+        quarantine=quarantine,
     )
     q.awaitTermination(timeout_s)
     if q.isActive:

@@ -262,6 +262,38 @@ def test_cosine_near_dup_pairs(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs
 
 
+def test_cosine_near_dup_exact_matches_naive(spark):
+    """Triangle block decomposition must equal the naive O(n²) self-join:
+    every unordered pair produced exactly once (same-block ordered by id,
+    cross-block by block), no duplicates, no misses."""
+    import random
+
+    from data_migration_validator_spark.operators.similarity import (
+        cosine,
+        cosine_near_dup_exact,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_exact(df, threshold=0.5, n_blocks=4).collect()
+    }
+    a = df.selectExpr("vec_id id_a", "embedding va")
+    b = df.selectExpr("vec_id id_b", "embedding vb")
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b")
+        .withColumn("c", cosine(F.col("va"), F.col("vb")))
+        .filter("c >= 0.5")
+        .collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
 def test_token_count(spark):
     df = spark.createDataFrame([("a b  c",), ("",), (" one ",)], "t string")
     out = [r[0] for r in df.select(token_count("t")).collect()]
