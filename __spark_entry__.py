@@ -419,6 +419,45 @@ def q_extras_rows(spark, sf_dir):
     )
 
 
+def q_event_quarantine(spark, sf_dir):
+    """Dead-letter classification (cdc.quarantine.classify_events) driven
+    over the generic events table: a deterministically corrupted view
+    (nulled keys / payloads on fixed id residues, 'error'/'signup' outside
+    the valid-op set) is tagged with a quarantine reason by the same
+    declarative CASE the CDC ingest uses — whole classification in codegen,
+    no UDF.  Oracle = the identical CASE in ANSI SQL."""
+    from data_migration_validator_spark.cdc.quarantine import classify_events
+
+    ev = _t(spark, sf_dir, "events")
+    corrupted = ev.withColumns(
+        {
+            "user_id": F.when(
+                F.col("event_id") % 97 == 0, F.lit(None).cast("long")
+            ).otherwise(F.col("user_id")),
+            "value": F.when(
+                F.col("event_id") % 101 == 3, F.lit(None).cast("double")
+            ).otherwise(F.col("value")),
+            "props": F.when(
+                F.col("event_id") % 101 == 3, F.lit(None).cast("string")
+            ).otherwise(F.col("props")),
+        }
+    )
+    tagged = classify_events(
+        corrupted,
+        key_cols=("user_id",),
+        op_col="event_type",
+        valid_ops=("click", "view", "purchase"),
+        payload_cols=("value", "props"),
+        schema_col=None,
+        reason_col="reason",
+    )
+    return (
+        tagged.filter(F.col("reason").isNotNull())
+        .select("event_id", "event_type", "reason")
+        .orderBy("event_id")
+    )
+
+
 def q_text_stats(spark, sf_dir):
     """Text analysis: token counts (whitespace + BPE-ish) and char ratios."""
     d = _t(spark, sf_dir, "documents")
@@ -930,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_report": q_full_outer_report,
         "windowed_validation": q_windowed_validation,
         "extras_rows": q_extras_rows,
+        "event_quarantine": q_event_quarantine,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1230,6 +1270,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, 'tgt' AS side FROM t
             WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
             ORDER BY o_orderkey, side
+        """,
+        "event_quarantine": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+                       CASE WHEN event_id % 101 = 3 THEN NULL ELSE value END AS value,
+                       CASE WHEN event_id % 101 = 3 THEN NULL ELSE props END AS props
+                FROM events
+            ),
+            tagged AS (
+                SELECT event_id, event_type,
+                       CASE
+                           WHEN event_type NOT IN ('click', 'view', 'purchase')
+                               THEN 'unknown_op'
+                           WHEN user_id IS NULL THEN 'null_key'
+                           WHEN value IS NULL AND props IS NULL
+                                AND event_type <> 'delete' THEN 'no_payload'
+                       END AS reason
+                FROM c
+            )
+            SELECT event_id, event_type, reason FROM tagged
+            WHERE reason IS NOT NULL ORDER BY event_id
         """,
         "text_stats": r"""
             SELECT doc_id,

@@ -6,7 +6,8 @@
         [--lineage-root /lake/_metrics/lineage] \
         [--mode batch|stream] [--num-buckets 32] [--salt-buckets 16] \
         [--merge-mode cow|mor] [--compact-ratio 0.3] \
-        [--ordering-gate] [--gate-ttl-minutes 30]
+        [--ordering-gate] [--gate-ttl-minutes 30] \
+        [--quarantine-root /lake/_dlq/repo_content]
 
 Batch mode replays all pending batches through the exactly-once commit log
 (the reference's unvalidated-COMPLETED-batch loop,
@@ -23,6 +24,7 @@ import json
 from pyspark.sql import SparkSession
 
 from data_migration_validator_spark.cdc.apply import make_lineage_table
+from data_migration_validator_spark.cdc.quarantine import make_quarantine_table
 from data_migration_validator_spark.cdc.replay import pending_batches, replay
 from data_migration_validator_spark.lake.table import LakeTable
 from data_migration_validator_spark.streaming.stream import run_stream_once
@@ -56,6 +58,10 @@ def main() -> None:
                          "(row-level redelivery protection)")
     ap.add_argument("--gate-ttl-minutes", type=float, default=None,
                     help="bound gate state: evict keys idle this long")
+    ap.add_argument("--quarantine-root", default=None,
+                    help="dead-letter table root: malformed events (unknown "
+                         "op, null key, no payload) are split out and "
+                         "upserted exactly-once instead of dropped")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -73,6 +79,11 @@ def main() -> None:
     lineage = (
         make_lineage_table(spark, args.lineage_root) if args.lineage_root else None
     )
+    quarantine = (
+        make_quarantine_table(spark, args.quarantine_root)
+        if args.quarantine_root
+        else None
+    )
 
     if args.mode == "stream":
         if not args.checkpoint_dir:
@@ -87,6 +98,7 @@ def main() -> None:
             compact_ratio=args.compact_ratio,
             ordering_gate=args.ordering_gate,
             gate_ttl_minutes=args.gate_ttl_minutes,
+            quarantine=quarantine,
         )
         stats = {"mode": "stream", "rows": table.row_count(), "seq": table.manifest["seq"]}
     else:
@@ -99,8 +111,11 @@ def main() -> None:
             salt_buckets=args.salt_buckets,
             count_deletes=args.count_deletes,
             merge_mode=args.merge_mode,
+            quarantine=quarantine,
         )
         stats["mode"] = "batch"
+    if quarantine is not None:
+        stats["rows_quarantined"] = quarantine.row_count()
     print(json.dumps(stats))
 
 

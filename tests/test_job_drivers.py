@@ -25,11 +25,21 @@ def _run(script, *args):
 
 
 def test_cdc_job_batch_then_rerun_noop(spark, tmp_root):
+    from pyspark.sql import functions as F
+
     from data_migration_validator_spark.cdc import change_events, write_events_batched
 
     events_dir = os.path.join(tmp_root, "events")
     table_root = os.path.join(tmp_root, "table")
+    dlq_root = os.path.join(tmp_root, "dlq")
     ev = change_events(spark, 2_000, n_repos=20, seed=5, batch_size=1_000)
+    # a slice of unknown ops: must land in the dead-letter table, not the lake
+    ev = ev.withColumn(
+        "op",
+        F.when(F.col("event_seq") % 97 == 0, F.lit("truncate")).otherwise(
+            F.col("op")
+        ),
+    )
     write_events_batched(ev, events_dir)
 
     out = _run(
@@ -37,14 +47,18 @@ def test_cdc_job_batch_then_rerun_noop(spark, tmp_root):
         "--events-dir", events_dir,
         "--table-root", table_root,
         "--lineage-root", os.path.join(tmp_root, "lineage"),
+        "--quarantine-root", dlq_root,
         "--num-buckets", "4",
     )
     assert out[-1]["batches_applied"] == 2 and out[-1]["mode"] == "batch"
-    # rerun: commit log makes it a no-op
+    assert out[-1]["rows_quarantined"] == 21  # ceil(2000/97)
+    # rerun: commit log makes it a no-op; quarantine count unchanged
     out2 = _run(
-        "run_cdc_job.py", "--events-dir", events_dir, "--table-root", table_root
+        "run_cdc_job.py", "--events-dir", events_dir, "--table-root", table_root,
+        "--quarantine-root", dlq_root,
     )
     assert out2[-1]["batches_applied"] == 0 and out2[-1]["batches_skipped"] == 0
+    assert out2[-1]["rows_quarantined"] == 21
 
 
 def test_validation_job_end_to_end(spark, tmp_root):
