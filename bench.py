@@ -63,8 +63,10 @@ HEADLINE = [
     "fingerprint_dedup",
     "embedding_norms",
     "knn_bruteforce",
+    "embedding_near_dup",
     "simhash_near_dup",
     "minhash_near_dup",
+    "event_quarantine",
 ]
 
 

@@ -93,3 +93,63 @@ def test_dedup_forms_agree(spark, seed, skew):
         dedup_bucket_aligned(ev, ["repo", "path"], bucket_col).drop("__bucket")
     )
     assert plain == salted == aligned
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    bad_op_mod=st.sampled_from([43, 97]),
+    null_key_mod=st.sampled_from([59, 101]),
+    merge_mode=st.sampled_from(["cow", "mor"]),
+)
+def test_quarantined_replay_equals_clean_oracle(
+    spark, seed, bad_op_mod, null_key_mod, merge_mode
+):
+    """Randomly corrupted streams (unknown ops, null keys at arbitrary
+    residues): the quarantined replay's final state must equal the oracle
+    over ONLY the clean events, and the dead-letter table must hold exactly
+    the corrupted ones."""
+    from data_migration_validator_spark.cdc import (
+        classify_events,
+        make_quarantine_table,
+    )
+
+    ev = change_events(
+        spark, 400, n_repos=10, paths_per_repo=20, seed=seed, batch_size=200,
+    )
+    bad = ev.withColumn(
+        "op",
+        F.when(F.col("event_seq") % bad_op_mod == 0, F.lit("nonsense"))
+        .otherwise(F.col("op")),
+    ).withColumn(
+        "path",
+        F.when(F.col("event_seq") % null_key_mod == 1, F.lit(None).cast("string"))
+        .otherwise(F.col("path")),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_events_batched(bad, os.path.join(tmp, "events"), files_per_batch=4)
+        table = LakeTable.create(
+            spark, os.path.join(tmp, "t"), SCHEMA,
+            key_cols=["repo", "path"], num_buckets=4,
+        )
+        dlq = make_quarantine_table(spark, os.path.join(tmp, "dlq"))
+        replay(
+            table, os.path.join(tmp, "events"),
+            merge_mode=merge_mode, quarantine=dlq,
+        )
+        clean = classify_events(bad).filter(
+            F.col("dlq_reason").isNull()
+        ).drop("dlq_reason")
+        counts = reconcile_counts(
+            expected_final_state(clean), table.read(), key_cols=["repo", "path"]
+        ).collect()[0]
+        assert counts["mismatches"] == 0, counts
+        assert counts["src_extras"] == 0 and counts["tgt_extras"] == 0, counts
+        expected_bad = (
+            classify_events(bad).filter(F.col("dlq_reason").isNotNull()).count()
+        )
+        assert dlq.row_count() == expected_bad
