@@ -7,3 +7,4 @@ from .quarantine import (  # noqa: F401
     make_quarantine_table,
     quarantine_rows,
 )
+from .demux import demux_batch, demux_replay  # noqa: F401

@@ -142,3 +142,58 @@ def run_stream_once(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+
+
+def start_demux_stream(
+    tables: dict[str, LakeTable],
+    events_dir: str,
+    checkpoint_dir: str,
+    table_col: str = "table_name",
+    lineage: dict[str, LakeTable] | None = None,
+    quarantine: LakeTable | None = None,
+    max_files_per_trigger: int = 4,
+    salt_buckets: int = 1,
+    merge_mode: str | None = None,
+    timeout_s: int = 600,
+) -> None:
+    """Multi-table tail: one mixed stream (schema = event stream + the
+    routing column) demuxed to per-table lake tables inside foreachBatch
+    (:func:`cdc.demux.demux_batch`).  Per-table commit logs make the sink
+    idempotent table-by-table — a micro-batch redelivered after a crash
+    mid-demux no-ops on the tables that committed and applies on the rest.
+    One availableNow pass; resumes from the checkpoint like
+    :func:`run_stream_once`."""
+    from ..cdc.demux import demux_batch
+
+    spark = next(iter(tables.values())).spark
+    schema = T.StructType(
+        list(EVENT_STREAM_SCHEMA.fields) + [T.StructField(table_col, T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+
+    def _sink(batch_df, batch_id: int):
+        demux_batch(
+            tables,
+            batch_df,
+            batch_id=f"stream-{batch_id}",
+            table_col=table_col,
+            lineage=lineage,
+            quarantine=quarantine,
+            salt_buckets=salt_buckets,
+            merge_mode=merge_mode,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()

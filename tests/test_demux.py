@@ -1,0 +1,151 @@
+"""Multi-table demux: one mixed stream routed to per-table lake tables with
+per-table exactly-once, unknown-table dead-lettering, and per-stream oracle
+equivalence."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_migration_validator_spark.cdc import (
+    change_events,
+    demux_batch,
+    demux_replay,
+    expected_final_state,
+    make_quarantine_table,
+    write_events_batched,
+)
+from data_migration_validator_spark.lake import LakeTable
+from data_migration_validator_spark.validation import reconcile_counts
+
+SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+]
+
+EV_COLS = [
+    "event_seq", "op", "repo", "path", "commit", "lang", "content",
+    "schema_change", "batch_hint",
+]
+
+
+def _table(spark, root, name):
+    return LakeTable.create(
+        spark, os.path.join(root, name), SCHEMA,
+        key_cols=["repo", "path"], num_buckets=4,
+    )
+
+
+def _mixed_stream(spark, n_a=2_000, n_b=1_500, batch=1_000, unknown=0):
+    """Interleave two independent table streams into one ordered mixed
+    stream.  event_seq is remapped to a GLOBALLY unique offset (even/odd) —
+    the binlog contract — which preserves each table's internal order and
+    the original batch boundaries."""
+    a = change_events(spark, n_a, n_repos=15, seed=1, batch_size=batch)
+    b = change_events(spark, n_b, n_repos=12, seed=2, batch_size=batch)
+
+    def remap(df, parity, name):
+        return df.withColumn(
+            "event_seq", F.col("event_seq") * 2 + parity
+        ).withColumn("table_name", F.lit(name))
+
+    mixed = remap(a, 0, "tbl_a").unionByName(remap(b, 1, "tbl_b"))
+    if unknown:
+        u = change_events(spark, unknown, n_repos=3, seed=9, batch_size=batch)
+        mixed = mixed.unionByName(
+            u.withColumn("event_seq", F.col("event_seq") * 2 + 1_000_000)
+            .withColumn("batch_hint", F.lit(0))
+            .withColumn("table_name", F.lit("tbl_ghost"))
+        )
+    return a, b, mixed.select(*EV_COLS, "table_name")
+
+
+def _assert_equal(oracle_src, table):
+    c = reconcile_counts(oracle_src, table.read(), ["repo", "path"]).collect()[0]
+    assert c["mismatches"] == 0 and c["src_extras"] == 0 and c["tgt_extras"] == 0, c
+
+
+def test_demux_replay_two_tables(spark, tmp_root):
+    a, b, mixed = _mixed_stream(spark)
+    events_dir = os.path.join(tmp_root, "events")
+    write_events_batched(mixed, events_dir)
+
+    tables = {
+        "tbl_a": _table(spark, tmp_root, "tbl_a"),
+        "tbl_b": _table(spark, tmp_root, "tbl_b"),
+    }
+    stats = demux_replay(tables, events_dir, merge_mode="mor")
+    assert stats["applied_per_table"] == {"tbl_a": 2, "tbl_b": 2}
+    _assert_equal(expected_final_state(a), tables["tbl_a"])
+    _assert_equal(expected_final_state(b), tables["tbl_b"])
+
+    # full redelivery: every batch already committed by every table
+    stats2 = demux_replay(tables, events_dir, merge_mode="mor")
+    assert stats2["batches_skipped"] == stats2["batches_total"]
+    assert stats2["applied_per_table"] == {"tbl_a": 0, "tbl_b": 0}
+
+
+def test_demux_unknown_table_dead_letters(spark, tmp_root):
+    a, b, mixed = _mixed_stream(spark, n_a=800, n_b=600, batch=1_000, unknown=50)
+    events_dir = os.path.join(tmp_root, "events")
+    write_events_batched(mixed, events_dir)
+
+    tables = {
+        "tbl_a": _table(spark, tmp_root, "tbl_a"),
+        "tbl_b": _table(spark, tmp_root, "tbl_b"),
+    }
+    dlq = make_quarantine_table(spark, os.path.join(tmp_root, "dlq"))
+    demux_replay(tables, events_dir, quarantine=dlq)
+    got = dlq.read().filter(F.col("reason") == "unknown_table")
+    assert got.count() == 50
+    _assert_equal(expected_final_state(a), tables["tbl_a"])
+    _assert_equal(expected_final_state(b), tables["tbl_b"])
+
+
+def test_demux_partial_crash_resume(spark, tmp_root):
+    """Crash mid-loop: table A committed batch 0, table B did not.  The
+    redelivered batch must no-op on A and apply on B."""
+    a, b, mixed = _mixed_stream(spark, n_a=900, n_b=700, batch=1_000)
+    tables = {
+        "tbl_a": _table(spark, tmp_root, "tbl_a"),
+        "tbl_b": _table(spark, tmp_root, "tbl_b"),
+    }
+    mixed = mixed.cache()
+    out1 = demux_batch(tables, mixed, batch_id=0)
+    assert not out1["tbl_a"].get("skipped") and not out1["tbl_b"].get("skipped")
+    # simulate: B's commit marker lost (crash before its commit)
+    os.remove(os.path.join(tables["tbl_b"].root, "_commits", "batch-0.json"))
+    seq_a = tables["tbl_a"].manifest["seq"]
+    out2 = demux_batch(tables, mixed, batch_id=0)
+    assert out2["tbl_a"].get("skipped")
+    assert not out2["tbl_b"].get("skipped")
+    assert tables["tbl_a"].manifest["seq"] == seq_a  # A untouched
+    _assert_equal(expected_final_state(a), tables["tbl_a"])
+    _assert_equal(
+        expected_final_state(b),
+        LakeTable.load(spark, tables["tbl_b"].root),
+    )
+
+
+def test_demux_stream_availablenow_and_resume(spark, tmp_root):
+    from data_migration_validator_spark.streaming.stream import start_demux_stream
+
+    a, b, mixed = _mixed_stream(spark, n_a=1_200, n_b=900, batch=500)
+    events_dir = os.path.join(tmp_root, "events")
+    write_events_batched(mixed, events_dir)
+    tables = {
+        "tbl_a": _table(spark, tmp_root, "tbl_a"),
+        "tbl_b": _table(spark, tmp_root, "tbl_b"),
+    }
+    ckpt = os.path.join(tmp_root, "ckpt")
+    start_demux_stream(tables, events_dir, ckpt, merge_mode="mor")
+    _assert_equal(expected_final_state(a), tables["tbl_a"])
+    _assert_equal(expected_final_state(b), tables["tbl_b"])
+
+    # resume from checkpoint with no new input: nothing re-applies
+    seqs = {n: t.manifest["seq"] for n, t in tables.items()}
+    start_demux_stream(tables, events_dir, ckpt)
+    for n, t in tables.items():
+        assert LakeTable.load(spark, t.root).manifest["seq"] == seqs[n]
