@@ -7,7 +7,8 @@
         [--mode batch|stream] [--num-buckets 32] [--salt-buckets 16] \
         [--merge-mode cow|mor] [--compact-ratio 0.3] \
         [--ordering-gate] [--gate-ttl-minutes 30] \
-        [--quarantine-root /lake/_dlq/repo_content]
+        [--quarantine-root /lake/_dlq/repo_content] \
+        [--demux-tables ta,tb --table-col table_name]
 
 Batch mode replays all pending batches through the exactly-once commit log
 (the reference's unvalidated-COMPLETED-batch loop,
@@ -62,9 +63,19 @@ def main() -> None:
                     help="dead-letter table root: malformed events (unknown "
                          "op, null key, no payload) are split out and "
                          "upserted exactly-once instead of dropped")
+    ap.add_argument("--demux-tables", default=None,
+                    help="comma-separated table names: treat the stream as "
+                         "a MIXED multi-table feed (routing column "
+                         "--table-col) and demux to per-table lake tables "
+                         "under <table-root>/<name>")
+    ap.add_argument("--table-col", default="table_name",
+                    help="routing column for --demux-tables")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
+    if args.demux_tables:
+        _run_demux(spark, args)
+        return
     if LakeTable.exists(args.table_root):
         table = LakeTable.load(spark, args.table_root)
     else:
@@ -114,6 +125,62 @@ def main() -> None:
             quarantine=quarantine,
         )
         stats["mode"] = "batch"
+    if quarantine is not None:
+        stats["rows_quarantined"] = quarantine.row_count()
+    print(json.dumps(stats))
+
+
+def _run_demux(spark, args) -> None:
+    """Multi-table mode: the events dir carries a mixed stream; each named
+    table gets its own lake root, lineage table, and commit log."""
+    import os
+
+    from data_migration_validator_spark.cdc.demux import demux_replay
+    from data_migration_validator_spark.streaming.stream import start_demux_stream
+
+    names = [n.strip() for n in args.demux_tables.split(",") if n.strip()]
+    tables = {}
+    for n in names:
+        root = os.path.join(args.table_root, n)
+        tables[n] = (
+            LakeTable.load(spark, root)
+            if LakeTable.exists(root)
+            else LakeTable.create(
+                spark, root, REPO_CONTENT_SCHEMA, key_cols=["repo", "path"],
+                bucket_col="repo", num_buckets=args.num_buckets,
+            )
+        )
+    lineage = (
+        {n: make_lineage_table(spark, os.path.join(args.lineage_root, n))
+         for n in names}
+        if args.lineage_root
+        else None
+    )
+    quarantine = (
+        make_quarantine_table(spark, args.quarantine_root)
+        if args.quarantine_root
+        else None
+    )
+    if args.mode == "stream":
+        if not args.checkpoint_dir:
+            raise SystemExit("--checkpoint-dir is required in stream mode")
+        start_demux_stream(
+            tables, args.events_dir, args.checkpoint_dir,
+            table_col=args.table_col, lineage=lineage, quarantine=quarantine,
+            salt_buckets=args.salt_buckets, merge_mode=args.merge_mode,
+        )
+        stats = {
+            "mode": "stream-demux",
+            "rows": {n: LakeTable.load(spark, t.root).row_count()
+                     for n, t in tables.items()},
+        }
+    else:
+        stats = demux_replay(
+            tables, args.events_dir, table_col=args.table_col,
+            lineage=lineage, quarantine=quarantine,
+            salt_buckets=args.salt_buckets, merge_mode=args.merge_mode,
+        )
+        stats["mode"] = "batch-demux"
     if quarantine is not None:
         stats["rows_quarantined"] = quarantine.row_count()
     print(json.dumps(stats))

@@ -149,3 +149,33 @@ def test_demux_stream_availablenow_and_resume(spark, tmp_root):
     start_demux_stream(tables, events_dir, ckpt)
     for n, t in tables.items():
         assert LakeTable.load(spark, t.root).manifest["seq"] == seqs[n]
+
+
+def test_demux_schema_evolution_routes_to_right_table(spark, tmp_root):
+    """A schema-change event in the mixed stream must evolve ONLY the table
+    it is routed to."""
+    import json as _json
+
+    from data_migration_validator_spark.cdc import demux_batch
+
+    a = change_events(
+        spark, 400, n_repos=8, seed=3, batch_size=400,
+        schema_change_at={200: _json.dumps(
+            {"action": "add_column", "name": "stars", "type": "int"})},
+    )
+    b = change_events(spark, 300, n_repos=8, seed=4, batch_size=400)
+    mixed = (
+        a.withColumn("event_seq", F.col("event_seq") * 2)
+        .withColumn("table_name", F.lit("tbl_a"))
+        .unionByName(
+            b.withColumn("event_seq", F.col("event_seq") * 2 + 1)
+            .withColumn("table_name", F.lit("tbl_b"))
+        )
+    )
+    tables = {
+        "tbl_a": _table(spark, tmp_root, "tbl_a"),
+        "tbl_b": _table(spark, tmp_root, "tbl_b"),
+    }
+    demux_batch(tables, mixed, batch_id=0)
+    assert "stars" in [f.name for f in tables["tbl_a"].schema.fields]
+    assert "stars" not in [f.name for f in tables["tbl_b"].schema.fields]
