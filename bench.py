@@ -200,6 +200,56 @@ def bench_cdc_stream(
         }
 
 
+def bench_cdc_demux(
+    spark, n_events: int, n_batches: int = 4, repeats: int = 2, max_load: float = 8.0
+) -> dict:
+    """Mixed two-table stream through the demux replay (one scan per batch,
+    per-table commit logs): throughput of the multi-table routing layer,
+    digest-verified per table against each stream's own oracle."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validator_spark.cdc.demux import demux_replay
+    from data_migration_validator_spark.cdc.events import (
+        change_events,
+        write_events_batched,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        half = n_events // 2
+        bsz = max(1, half // n_batches)
+        a = change_events(spark, half, n_repos=100, seed=42, batch_size=bsz)
+        b = change_events(spark, half, n_repos=100, seed=43, batch_size=bsz)
+        mixed = (
+            a.withColumn("event_seq", F.col("event_seq") * 2)
+            .withColumn("table_name", F.lit("ta"))
+            .unionByName(
+                b.withColumn("event_seq", F.col("event_seq") * 2 + 1)
+                .withColumn("table_name", F.lit("tb"))
+            )
+        )
+        write_events_batched(mixed, f"{tmp}/events")
+        walls, tables = [], None
+        for i in range(max(1, repeats)):
+            _wait_for_quiet(max_load)
+            tables = {
+                n: _new_table(spark, f"{tmp}/{n}_{i}") for n in ("ta", "tb")
+            }
+            t0 = time.monotonic()
+            demux_replay(tables, f"{tmp}/events", merge_mode="mor")
+            walls.append(time.monotonic() - t0)
+        demux_s = min(walls)
+        for t in tables.values():
+            t.compact()
+        return {
+            "events": n_events,
+            "tables": 2,
+            "demux_sec": round(demux_s, 3),
+            "all_sec": [round(w, 3) for w in walls],
+            "events_per_sec": round(n_events / demux_s, 1),
+            "verified": _verify(tables["ta"], a) and _verify(tables["tb"], b),
+        }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -236,6 +286,9 @@ def main():
     cdc_stream = bench_cdc_stream(spark, n_events=n_ev, n_batches=4,
                                   repeats=repeats, max_load=max_load)
     per_query["cdc_stream"] = cdc_stream["stream_sec"]
+    cdc_demux = bench_cdc_demux(spark, n_events=n_ev, n_batches=4,
+                                repeats=repeats, max_load=max_load)
+    per_query["cdc_demux"] = cdc_demux["demux_sec"]
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -252,6 +305,7 @@ def main():
                 "cdc": cdc,
                 "cdc_mor": cdc_mor,
                 "cdc_stream": cdc_stream,
+                "cdc_demux": cdc_demux,
             }
         )
     )
