@@ -579,7 +579,9 @@ def q_embedding_near_dup(spark, sf_dir):
         cosine_near_dup_exact,
     )
 
-    e = _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    # No pre-repartition: the block join's own (bi, bj) exchange is the
+    # parallelism source; an upstream repartition would just add a shuffle.
+    e = _t(spark, sf_dir, "embeddings")
     out = cosine_near_dup_exact(e, "vec_id", "embedding", threshold=0.40, n_blocks=8)
     return out.select("id_a", "id_b").orderBy("id_a", "id_b")
 

@@ -188,6 +188,92 @@ class LakeTable:
                 "load() the live table to write"
             )
 
+    def rollback(self, seq: int) -> dict:
+        """Restore the table to committed snapshot ``seq`` as a NEW commit
+        (Iceberg ``rollback_to_snapshot`` analog): pure metadata — the new
+        manifest re-points at the old snapshot's files/deltas/schema/spec
+        under seq N+1, so any number of bad commits are undone without
+        rewriting a byte, and the rolled-over commits stay time-travelable
+        until :meth:`expire_snapshots`.
+
+        Exactly-once interplay: batch commit markers recorded AFTER the
+        target snapshot are retracted, so replaying the event stream
+        re-applies exactly the undone batches and the table reconverges —
+        without this, the idempotent sink would skip them forever.
+        """
+        self._assert_writable()
+        path = os.path.join(self.root, "_manifest", f"v{seq:08d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no committed snapshot seq={seq} under {self.root}"
+            )
+        with open(path) as f:
+            old = json.load(f)
+        m = self._next_manifest(
+            files=old["files"],
+            deltas=old.get("deltas", []),
+            bucket_rows=old.get("bucket_rows", {}),
+            schema_id=old["schema_id"],
+            schemas=old["schemas"],
+            partition=old["partition"],
+            key_cols=old["key_cols"],
+        )
+        retracted = []
+        for p in glob.glob(os.path.join(self.root, "_commits", "batch-*.json")):
+            with open(p) as f:
+                marker = json.load(f)
+            if int(marker.get("seq", 0)) > seq:
+                retracted.append(marker["batch_id"])
+                os.remove(p)
+        self._write_manifest(m)
+        return {
+            "rolled_back_to": seq,
+            "seq": m["seq"],
+            "batches_retracted": sorted(retracted, key=str),
+        }
+
+    def rebucket(self, num_buckets: int, bucket_col: str | None = None) -> dict:
+        """Partition-spec evolution: rewrite the table into ``num_buckets``
+        hash buckets (optionally on a new source column) — the maintenance
+        analog of Iceberg partition-spec evolution, for when a table
+        outgrows its create-time bucket count (bucket count bounds write
+        parallelism and file-pruning granularity; at 100× growth the
+        original count becomes the bottleneck).
+
+        One full rewrite: MOR-resolved read → one shuffle on the NEW bucket
+        expression → files + spec swapped atomically in a single manifest
+        commit.  Time travel to pre-rebucket snapshots still resolves
+        correctly — each manifest carries its own spec.
+        """
+        self._assert_writable()
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        src = bucket_col or self.bucket_source
+        if self.schema.field_by_name(src) is None:
+            raise ValueError(f"bucket column {src!r} not in schema")
+        current = self.read()
+        old_partition = self.manifest["partition"]
+        # the in-memory spec drives _write_files' bucket expr + observe
+        # aggregates; restored on failure so the handle never lies
+        self.manifest["partition"] = {"num_buckets": num_buckets, "source": src}
+        try:
+            entries, bucket_rows = self._write_files(current)
+            m = self._next_manifest(
+                files=entries,
+                deltas=[],
+                bucket_rows={str(b): n for b, n in bucket_rows.items()},
+            )
+            self._write_manifest(m)
+        except Exception:
+            self.manifest["partition"] = old_partition
+            raise
+        return {
+            "num_buckets": num_buckets,
+            "bucket_source": src,
+            "rows": int(sum(bucket_rows.values())),
+            "files": len(entries),
+        }
+
     def _write_manifest(self, manifest: dict) -> None:
         self._assert_writable()
         seq = manifest["seq"]
