@@ -415,9 +415,11 @@ def _apply_batch_mor(
     stats skip nearly every page), then dedup → delta write as ONE action —
     bucket stats and lineage offsets ride the write via ``observe``.
 
-    With ``quarantine``, the bad-row count rides the same footer-pruned
-    collect (a union of two near-empty aggregates, still one job); the
-    quarantine upsert launches only when it lands non-zero."""
+    With ``quarantine``, the bad-row count rides the same collect — still
+    ONE job per batch, though the count leg reads the classification
+    columns (op/keys/payload) rather than just the pruned schema_change
+    footer stats; the quarantine upsert launches only when it lands
+    non-zero."""
     sc_frame = events.filter(F.col("schema_change").isNotNull()).select(
         F.lit("schema").alias("kind"), "event_seq", "schema_change"
     )
