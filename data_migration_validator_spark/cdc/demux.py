@@ -66,8 +66,13 @@ def demux_batch(
     events = events.persist()
     try:
         if quarantine is not None:
+            # NULL routing values must be dead-lettered too: a bare ~isin
+            # evaluates to NULL for them and the filter would silently drop
+            # the rows — the exact silent-loss mode this module exists to
+            # close.
             unknown = events.filter(
-                ~F.col(table_col).isin(*tables.keys())
+                F.col(table_col).isNull()
+                | ~F.col(table_col).isin(*tables.keys())
             ).withColumn("dlq_reason", F.lit(REASON_UNKNOWN_TABLE))
             n_unknown = unknown.count()
             if n_unknown:

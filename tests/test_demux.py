@@ -89,6 +89,13 @@ def test_demux_replay_two_tables(spark, tmp_root):
 
 def test_demux_unknown_table_dead_letters(spark, tmp_root):
     a, b, mixed = _mixed_stream(spark, n_a=800, n_b=600, batch=1_000, unknown=50)
+    # a NULL routing value is just as lost as a wrong one: must dead-letter
+    mixed = mixed.withColumn(
+        "table_name",
+        F.when(F.col("event_seq") == 2, F.lit(None).cast("string")).otherwise(
+            F.col("table_name")
+        ),
+    )
     events_dir = os.path.join(tmp_root, "events")
     write_events_batched(mixed, events_dir)
 
@@ -99,8 +106,13 @@ def test_demux_unknown_table_dead_letters(spark, tmp_root):
     dlq = make_quarantine_table(spark, os.path.join(tmp_root, "dlq"))
     demux_replay(tables, events_dir, quarantine=dlq)
     got = dlq.read().filter(F.col("reason") == "unknown_table")
-    assert got.count() == 50
-    _assert_equal(expected_final_state(a), tables["tbl_a"])
+    assert got.count() == 51  # 50 ghost-table rows + 1 null-routed row
+    assert got.filter(F.col("event_seq") == 2).count() == 1
+    # the null-routed event (mixed seq 2 == a's seq 1) never reached tbl_a,
+    # so tbl_a's oracle is the clean stream WITHOUT it
+    _assert_equal(
+        expected_final_state(a.filter(F.col("event_seq") != 1)), tables["tbl_a"]
+    )
     _assert_equal(expected_final_state(b), tables["tbl_b"])
 
 
