@@ -242,6 +242,10 @@ def cosine_near_dup_exact(
         # divide below references a computed column, not a re-evaluated
         # aggregate per element
         .withColumn("__n", _norm(F.col("__raw")))
+        # a zero vector has no direction: dividing by its norm makes NaN
+        # cosines, and Spark sorts NaN ABOVE every double, so the threshold
+        # filter would emit spurious pairs — drop them up front
+        .filter(F.col("__n") > 0)
         .select(
             "__id",
             F.transform(

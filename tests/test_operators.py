@@ -293,6 +293,16 @@ def test_cosine_near_dup_exact_matches_naive(spark):
     }
     assert got == naive and len(naive) > 0
 
+    # zero vectors have no direction: never paired (NaN-cosine guard)
+    with_zero = df.union(
+        spark.createDataFrame([(999, [0.0] * 8)], df.schema)
+    )
+    got_z = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_exact(with_zero, threshold=0.5, n_blocks=4).collect()
+    }
+    assert got_z == naive
+
 
 def test_token_count(spark):
     df = spark.createDataFrame([("a b  c",), ("",), (" one ",)], "t string")
