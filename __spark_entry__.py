@@ -487,6 +487,25 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary builder over the corpus: top-k tokens by frequency — the
+    first step of any tokenizer/vocab pipeline.  Scale shape: explode →
+    ONE hash aggregate (map-side partial combine collapses each task's
+    token multiset before the exchange, so the shuffle carries per-task
+    distinct tokens, not the corpus) → top-k via sort+limit on the tiny
+    aggregated frame.  Ties broken by token for determinism."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: predicted language → doc count."""
     d = _t(spark, sf_dir, "documents")
@@ -975,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "vocab_topk": q_vocab_topk,
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
         "embedding_norms": q_embedding_norms,
@@ -1320,6 +1340,15 @@ def oracle_sql() -> dict[str, str]:
                             (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) > 0.10
                        THEN 1 ELSE 0 END) AS BIGINT) AS digit_heavy
             FROM per_doc
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents
+            )
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE tok <> ''
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 50
         """,
         "lang_id": r"""
             WITH toks AS (

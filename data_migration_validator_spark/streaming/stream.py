@@ -121,11 +121,22 @@ def run_stream_once(
     ordering_gate: bool = False,
     gate_ttl_minutes: float | None = None,
     quarantine: LakeTable | None = None,
+    progress: LakeTable | None = None,
 ) -> None:
     """Run the stream to exhaustion of currently-available input (one
     availableNow pass) and stop.  Safe to call repeatedly: the checkpoint
     resumes from the recorded offsets, and the idempotent sink absorbs any
-    batch replayed across a kill/restart."""
+    batch replayed across a kill/restart.
+
+    ``progress``: optional ops-metrics LakeTable (``streaming.metrics``) —
+    per-trigger input/processed rows-per-second and trigger wall captured by
+    a StreamingQueryListener and appended after the run."""
+    listener = None
+    if progress is not None:
+        from .metrics import ProgressMetricsListener
+
+        listener = ProgressMetricsListener()
+        table.spark.streams.addListener(listener)
     q = start_stream(
         table,
         events_dir,
@@ -142,6 +153,21 @@ def run_stream_once(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+    if listener is not None:
+        import time as _time
+
+        # listener events arrive on a separate driver thread after each
+        # trigger commit; wait for the buffer to go non-empty and stable
+        deadline = _time.monotonic() + 10
+        last = -1
+        while _time.monotonic() < deadline:
+            n = len(listener.snapshot())
+            if n and n == last:
+                break
+            last = n
+            _time.sleep(0.3)
+        table.spark.streams.removeListener(listener)
+        listener.flush_to(progress)
 
 
 def start_demux_stream(
@@ -197,3 +223,18 @@ def start_demux_stream(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+    if listener is not None:
+        import time as _time
+
+        # listener events arrive on a separate driver thread after each
+        # trigger commit; wait for the buffer to go non-empty and stable
+        deadline = _time.monotonic() + 10
+        last = -1
+        while _time.monotonic() < deadline:
+            n = len(listener.snapshot())
+            if n and n == last:
+                break
+            last = n
+            _time.sleep(0.3)
+        table.spark.streams.removeListener(listener)
+        listener.flush_to(progress)

@@ -63,6 +63,10 @@ def main() -> None:
                     help="dead-letter table root: malformed events (unknown "
                          "op, null key, no payload) are split out and "
                          "upserted exactly-once instead of dropped")
+    ap.add_argument("--progress-root", default=None,
+                    help="stream mode: persist per-trigger progress "
+                         "(rows/s, trigger wall) captured by a "
+                         "StreamingQueryListener to this lake table")
     ap.add_argument("--demux-tables", default=None,
                     help="comma-separated table names: treat the stream as "
                          "a MIXED multi-table feed (routing column "
@@ -99,6 +103,13 @@ def main() -> None:
     if args.mode == "stream":
         if not args.checkpoint_dir:
             ap.error("--checkpoint-dir is required in stream mode")
+        progress = None
+        if args.progress_root:
+            from data_migration_validator_spark.streaming.metrics import (
+                make_progress_table,
+            )
+
+            progress = make_progress_table(spark, args.progress_root)
         run_stream_once(
             table,
             args.events_dir,
@@ -110,8 +121,11 @@ def main() -> None:
             ordering_gate=args.ordering_gate,
             gate_ttl_minutes=args.gate_ttl_minutes,
             quarantine=quarantine,
+            progress=progress,
         )
         stats = {"mode": "stream", "rows": table.row_count(), "seq": table.manifest["seq"]}
+        if progress is not None:
+            stats["progress_rows"] = progress.row_count()
     else:
         pending = pending_batches(table, args.events_dir)
         stats = replay(
