@@ -605,6 +605,28 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive closure of the exact cosine near-dup pairs: (vec_id,
+    cluster_id = min id in component) via min-label propagation — the
+    keep-one decision every dedup pipeline ends with.  Oracle: DuckDB
+    recursive CTE over the same edge list."""
+    from data_migration_validator_spark.operators.dedup import (
+        connected_components,
+    )
+    from data_migration_validator_spark.operators.similarity import (
+        cosine_near_dup_exact,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_exact(
+        e, "vec_id", "embedding", threshold=0.40, n_blocks=8
+    )
+    out = connected_components(pairs)
+    return out.select(
+        F.col("vertex").alias("vec_id"), "cluster_id"
+    ).orderBy("vec_id")
+
+
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only check:
     the xxhash64 family has no DuckDB equivalent)."""
@@ -1001,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1413,6 +1436,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b FROM p WHERE cosine >= 0.40 ORDER BY id_a, id_b
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                      / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                      >= 0.40
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM p
+                UNION SELECT id_b, id_a FROM p
+            ),
+            walk(v, l) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e2.s, w.l FROM edges e2 JOIN walk w ON e2.d = w.v
+            )
+            SELECT v AS vec_id, MIN(l) AS cluster_id
+            FROM walk GROUP BY v ORDER BY vec_id
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -461,3 +461,68 @@ def ngram_jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster a near-duplicate PAIR list into components: (vertex,
+    cluster_id) where cluster_id = min vertex id in the component — the
+    last step of every dedup pipeline (pairs alone don't dedup anything;
+    the keep-one decision needs the transitive closure).
+
+    Min-label propagation: each round every vertex takes the minimum of its
+    own label and its neighbors' labels (one equi-join + one min-aggregate,
+    both shuffle-partitioned on vertex id), until a round changes nothing.
+    Rounds needed = the longest min-label path — near-dup clusters are
+    shallow (pairs share content, so clusters are quasi-cliques), so this
+    converges in 2-3 rounds in practice; ``max_iter`` bounds the
+    pathological chain.  The convergence check rides the SAME aggregate
+    that computes the round (one action per round, the loop is
+    driver-side but O(rounds), not O(V)).  For graphs with genuinely deep
+    components at 10^10 edges, swap in large-star/small-star (alternating
+    conditional stars, O(log n) rounds) — same join shapes.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("v"), F.col("src").alias("label")
+    ).persist()
+    cached = labels  # the persisted frame backing the current labels
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels, edges["dst"] == labels["v"])
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.min("label").alias("nmin"))
+            )
+            stepped = (
+                labels.join(neigh, on="v", how="left")
+                .select(
+                    "v",
+                    F.least(F.col("label"), F.col("nmin")).alias("label"),
+                    (F.col("nmin") < F.col("label")).cast("int").alias("__chg"),
+                )
+                .persist()
+            )
+            # this count is the round's ONE action; it also materializes
+            # the cache the next round (and the final read) reuses, so the
+            # plan never chains deeper than one round
+            changed = int(
+                stepped.agg(F.sum("__chg")).collect()[0][0] or 0
+            )
+            cached.unpersist()
+            cached = stepped
+            labels = stepped.select("v", "label")
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("v").alias("vertex"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()

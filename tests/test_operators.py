@@ -355,3 +355,27 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_unavailable(b"x")
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must find the transitive closure: a 4-vertex
+    chain (worst-case depth), a triangle, and an isolated pair."""
+    from data_migration_validator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["vertex"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
