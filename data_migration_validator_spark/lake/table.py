@@ -782,8 +782,15 @@ class LakeTable:
             rows_upserted = int(sum(r["n_up"] for r in bucket_stats))
             deletes_requested = int(sum(r["n_del"] for r in bucket_stats))
 
+            # A touched bucket "has rows" if it has BASE FILES or live MOR
+            # DELTAS — a mor-ingested, not-yet-compacted bucket has an empty
+            # files list but a non-empty read; skipping the anti-join for it
+            # would keep stale row versions alongside the upserts and ignore
+            # deletes.
+            tset_probe = set(touched)
             touched_has_files = any(
-                f["bucket"] in set(touched) for f in self.manifest["files"]
+                f["bucket"] in tset_probe
+                for f in self.manifest["files"] + self.manifest.get("deltas", [])
             )
             existing = self.read(buckets=touched)
             if touched_has_files:
@@ -1216,6 +1223,7 @@ class LakeTable:
         contract as Iceberg's ``expireSnapshots(olderThan=...)``); the
         default 0 is only safe with no concurrent readers.
         """
+        self._assert_writable()  # vacuum deletes files: not for pinned handles
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         mdir = os.path.join(self.root, "_manifest")

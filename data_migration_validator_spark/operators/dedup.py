@@ -521,8 +521,13 @@ def connected_components(
             labels = stepped.select("v", "label")
             if changed == 0:
                 break
-        return labels.select(
+        # Materialize the result once (localCheckpoint cuts the iterative
+        # lineage AND lets the loop's last cache be freed), so callers hold
+        # a self-contained frame instead of a pin on this function's cache.
+        out = labels.select(
             F.col("v").alias("vertex"), F.col("label").alias("cluster_id")
-        )
+        ).localCheckpoint(eager=True)
+        cached.unpersist()
+        return out
     finally:
         edges.unpersist()

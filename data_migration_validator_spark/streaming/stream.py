@@ -137,37 +137,48 @@ def run_stream_once(
 
         listener = ProgressMetricsListener()
         table.spark.streams.addListener(listener)
-    q = start_stream(
-        table,
-        events_dir,
-        checkpoint_dir,
-        lineage=lineage,
-        max_files_per_trigger=max_files_per_trigger,
-        salt_buckets=salt_buckets,
-        merge_mode=merge_mode,
-        compact_ratio=compact_ratio,
-        ordering_gate=ordering_gate,
-        gate_ttl_minutes=gate_ttl_minutes,
-        quarantine=quarantine,
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    try:
+        q = start_stream(
+            table,
+            events_dir,
+            checkpoint_dir,
+            lineage=lineage,
+            max_files_per_trigger=max_files_per_trigger,
+            salt_buckets=salt_buckets,
+            merge_mode=merge_mode,
+            compact_ratio=compact_ratio,
+            ordering_gate=ordering_gate,
+            gate_ttl_minutes=gate_ttl_minutes,
+            quarantine=quarantine,
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+    finally:
+        # always detach: a leaked listener would keep accumulating rows for
+        # every later streaming query in the shared session
+        if listener is not None:
+            _drain_listener(listener)
+            table.spark.streams.removeListener(listener)
     if listener is not None:
-        import time as _time
-
-        # listener events arrive on a separate driver thread after each
-        # trigger commit; wait for the buffer to go non-empty and stable
-        deadline = _time.monotonic() + 10
-        last = -1
-        while _time.monotonic() < deadline:
-            n = len(listener.snapshot())
-            if n and n == last:
-                break
-            last = n
-            _time.sleep(0.3)
-        table.spark.streams.removeListener(listener)
         listener.flush_to(progress)
+
+
+def _drain_listener(listener, max_wait_s: float = 10.0) -> None:
+    """Listener events arrive on a separate driver thread after each trigger
+    commit; wait for the buffer to go stable (two identical consecutive
+    sizes — including stable-at-zero, so a no-new-input run exits in one
+    poll interval rather than the full window)."""
+    import time as _time
+
+    deadline = _time.monotonic() + max_wait_s
+    last = -1
+    while _time.monotonic() < deadline:
+        n = len(listener.snapshot())
+        if n == last:
+            break
+        last = n
+        _time.sleep(0.3)
 
 
 def start_demux_stream(
@@ -223,18 +234,3 @@ def start_demux_stream(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
-    if listener is not None:
-        import time as _time
-
-        # listener events arrive on a separate driver thread after each
-        # trigger commit; wait for the buffer to go non-empty and stable
-        deadline = _time.monotonic() + 10
-        last = -1
-        while _time.monotonic() < deadline:
-            n = len(listener.snapshot())
-            if n and n == last:
-                break
-            last = n
-            _time.sleep(0.3)
-        table.spark.streams.removeListener(listener)
-        listener.flush_to(progress)

@@ -146,6 +146,7 @@ def run_mappings(
             continue
         t0 = time.time()
         log_rows: list[dict] = []
+        reports: dict = {}
 
         def _log(stage: str, status: str, message: str = "") -> None:
             log_rows.append(
@@ -249,6 +250,11 @@ def run_mappings(
                     finished_at=time.time(),
                 )
         finally:
+            # free the per-mapping annotated cache: a config run over dozens
+            # of table families would otherwise pin one src×tgt-sized frame
+            # per family for the session lifetime
+            if "annotated" in reports:
+                reports["annotated"].unpersist()
             if log_table is not None:
                 persist_log(log_table, log_rows)
     return results

@@ -51,14 +51,19 @@ def main() -> None:
     base = None
     out: dict[str, float] = {}
     linear_max = 1
+    broken = False
     for w in levels:
         ops = measure(w, sec)
         out[str(w)] = round(ops, 0)
         if base is None:
             base = ops
         eff = ops / (base * w)
-        if eff >= 0.85:
+        # the linear region must be CONTIGUOUS from 1: once a level falls
+        # below threshold, a later (noise-rebound) level must not extend it
+        if eff >= 0.85 and not broken:
             linear_max = w
+        else:
+            broken = True
     out["linear_region_max"] = linear_max
     print(json.dumps(out))
 

@@ -47,7 +47,10 @@ def main() -> None:
     ap.add_argument("--lineage-root")
     ap.add_argument("--mode", choices=["batch", "stream"], default="batch")
     ap.add_argument("--num-buckets", type=int, default=32)
-    ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--salt-buckets", type=int, default=1,
+                    help="two-phase salted dedup fan-out; 1 = single-phase "
+                         "(library default — the salted form costs a second "
+                         "payload shuffle, reach for it only at extreme fan-in)")
     ap.add_argument("--count-deletes", action="store_true")
     ap.add_argument("--merge-mode", choices=["cow", "mor"], default=None,
                     help="MERGE strategy; mor = O(batch) delta commits")

@@ -170,3 +170,32 @@ def test_quarantine_redelivery_is_exactly_once(spark, tmp_root):
         (r["batch_id"], r["event_seq"]) for r in dlq.read().collect()
     )
     assert second == first
+
+
+def test_cow_merge_over_uncompacted_deltas(spark, tmp_root):
+    """Regression: a cow MERGE into a bucket whose rows live ONLY in
+    merge-on-read deltas (never compacted) must still anti-join the
+    existing rows — skipping it duplicated updated keys and ignored
+    deletes."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validator_spark.cdc import expected_final_state
+
+    ev1 = change_events(spark, 800, n_repos=10, seed=41, batch_size=800)
+    table = _new_table(spark, tmp_root, name="t_mixmode")
+    apply_batch(table, ev1, batch_id=0, merge_mode="mor")  # deltas only
+
+    ev2 = (
+        change_events(spark, 400, n_repos=10, seed=41, batch_size=400)
+        .withColumn("event_seq", F.col("event_seq") + 800)
+    )
+    apply_batch(table, ev2, batch_id=1, merge_mode="cow")  # same key space
+
+    oracle = expected_final_state(
+        ev1.unionByName(ev2.withColumn("batch_hint", F.lit(1)))
+    )
+    counts = reconcile_counts(
+        oracle, table.read(), key_cols=["repo", "path"]
+    ).collect()[0]
+    assert counts["mismatches"] == 0, counts
+    assert counts["src_extras"] == 0 and counts["tgt_extras"] == 0, counts
