@@ -44,6 +44,20 @@ EVENT_FIELD_IDS: dict[str, int] = {
 }
 
 
+def _event_names(table: LakeTable, cols) -> list[str]:
+    """Map current TABLE column names to the fixed EVENT payload names by
+    field id (rename-safe): a renamed key/bucket column still resolves to
+    the event field that carries it."""
+    cur = table.schema
+    id_to_event = {fid: n for n, fid in EVENT_FIELD_IDS.items()}
+
+    def one(col: str) -> str:
+        fld = cur.field_by_name(col)
+        return id_to_event.get(fld.id, col) if fld is not None else col
+
+    return [one(c) for c in cols]
+
+
 def dedup_last_writer_wins(
     events: DataFrame,
     key_cols: list[str] = ("repo", "path"),
@@ -163,16 +177,34 @@ def dedup_bucket_aligned(
 
 
 def _apply_schema_changes(table: LakeTable, actions: list[dict]) -> list[str]:
-    """Apply ordered schema-change actions (JSON per FIXTURES.md §F2)."""
+    """Apply ordered schema-change actions (JSON per FIXTURES.md §F2).
+
+    IDEMPOTENT under crash-retry: schema evolution commits its own manifest
+    versions BEFORE the batch commit marker lands, so a crash between the
+    two redelivers the batch with the evolution already applied.  Each
+    action therefore checks the current schema first and no-ops when its
+    effect is already present (add: column exists; rename: source gone and
+    target present; widen: already the target type) — without this, the
+    retry raises on every redelivery and the stream wedges permanently.
+    """
     applied = []
     for a in actions:
         kind = a["action"]
+        cur = table.schema
         if kind == "add_column":
-            table.add_column(a["name"], a["type"])
+            if cur.field_by_name(a["name"]) is None:
+                table.add_column(a["name"], a["type"])
         elif kind == "rename_column":
-            table.rename_column(a["from"], a["to"])
+            already = (
+                cur.field_by_name(a["from"]) is None
+                and cur.field_by_name(a["to"]) is not None
+            )
+            if not already:
+                table.rename_column(a["from"], a["to"])
         elif kind == "widen_type":
-            table.widen_type(a["name"], a["to"])
+            fld = cur.field_by_name(a["name"])
+            if fld is None or str(fld.type) != str(a["to"]):
+                table.widen_type(a["name"], a["to"])
         else:
             raise ValueError(f"unknown schema_change action {kind!r}")
         applied.append(kind)
@@ -244,7 +276,11 @@ def apply_batch(
     if quarantine is not None:
         from .quarantine import classify_events
 
-        events = classify_events(events)
+        # classify against THIS table's key columns (mapped to event names),
+        # not a hardcoded (repo, path) — demux routes to arbitrary tables
+        events = classify_events(
+            events, key_cols=_event_names(table, table.key_cols)
+        )
     merge_mode = merge_mode or table.manifest["properties"].get(
         "write.merge.mode", "cow"
     )
@@ -262,9 +298,15 @@ def apply_batch(
     dml = events.filter(F.col("op").isin("insert", "update", "delete"))
     if quarantine is not None:
         dml = dml.filter(F.col("dlq_reason").isNull())
+    # key/bucket columns resolved BY FIELD ID to their event-payload names,
+    # so a rename_column('repo', ...) in an earlier batch doesn't break the
+    # dedup/bucket expressions (the MOR path already did this; the COW path
+    # used raw table names and crashed after any key/bucket-source rename)
+    ev_keys = _event_names(table, table.key_cols)
+    ev_bucket_src = _event_names(table, [table.bucket_source])[0]
     deduped = dedup_last_writer_wins(
         dml.select("event_seq", "op", "repo", "path", "commit", "lang", "content"),
-        key_cols=list(table.key_cols),
+        key_cols=ev_keys,
         salt_buckets=salt_buckets,
     ).persist()
     try:
@@ -278,7 +320,12 @@ def apply_batch(
         #    exactly the serial term the N→4N scaling gate punishes.  This
         #    action also populates the ``deduped`` cache for the write.
         bucket_stats_df = (
-            deduped.withColumn("__bucket", table.bucket_expr())
+            deduped.withColumn(
+                "__bucket",
+                F.pmod(
+                    F.xxhash64(F.col(ev_bucket_src)), F.lit(table.num_buckets)
+                ).cast("int"),
+            )
             .groupBy("__bucket")
             .agg(
                 F.min("event_seq").alias("first_event_seq"),
@@ -458,16 +505,9 @@ def _apply_batch_mor(
     # Dedup and layout share ONE exchange: the change-set leaves the dedup
     # already partitioned and sorted by __bucket (salted within bucket for
     # balance), so the delta write repartitions nothing.
-    cur = table.schema
-    id_to_event = {fid: n for n, fid in EVENT_FIELD_IDS.items()}
-
-    def _event_name(col: str) -> str:
-        fld = cur.field_by_name(col)
-        return id_to_event.get(fld.id, col) if fld is not None else col
-
-    ev_keys = [_event_name(k) for k in table.key_cols]
+    ev_keys = _event_names(table, table.key_cols)
     bucket_col = F.pmod(
-        F.xxhash64(F.col(_event_name(table.bucket_source))),
+        F.xxhash64(F.col(_event_names(table, [table.bucket_source])[0])),
         F.lit(table.num_buckets),
     ).cast("int")
     deduped = dedup_bucket_aligned(

@@ -65,7 +65,11 @@ def demux_batch(
 
     events = events.persist()
     try:
-        if quarantine is not None:
+        # quarantine work only when at least one table still needs the
+        # batch: on a fully-committed redelivery the unknown-row upsert
+        # already happened (it runs before any table commit), so re-running
+        # it would pay a scan + MERGE commit for zero effect
+        if quarantine is not None and pending:
             # NULL routing values must be dead-lettered too: a bare ~isin
             # evaluates to NULL for them and the filter would silently drop
             # the rows — the exact silent-loss mode this module exists to

@@ -121,11 +121,22 @@ def quarantine_rows(
 ) -> DataFrame:
     """Project the tagged bad rows into the quarantine table's change-set
     shape (pre-deduped by construction: event_seq is unique per stream)."""
-    import re
+    import hashlib
     import time
 
-    m = re.search(r"(\d+)$", str(batch_id)) if batch_id is not None else None
-    bid = int(m.group(1)) if m else -1
+    # batch_id -> stable bigint key: plain ints pass through; the engine's
+    # own "stream-<n>" ids keep their ordinal (attribution in the DLQ); any
+    # OTHER string hashes to a stable 63-bit int — trailing-digit extraction
+    # would collide "run1-5" with "run2-5" and overwrite audit rows
+    s = str(batch_id) if batch_id is not None else ""
+    if s.isdigit():
+        bid = int(s)
+    elif s.startswith("stream-") and s[7:].isdigit():
+        bid = int(s[7:])
+    elif s:
+        bid = int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big") >> 1
+    else:
+        bid = -1
     return classified.filter(F.col(reason_col).isNotNull()).select(
         F.lit(bid).cast("bigint").alias("batch_id"),
         F.col("event_seq").cast("bigint").alias("event_seq"),

@@ -65,6 +65,12 @@ def replay(
     t0 = time.monotonic()
     n_applied = n_skipped = total_upserted = total_deleted = total_del_req = 0
     for bid in batch_ids:
+        if table.has_batch(bid):
+            # commit-log skip BEFORE the read: a restart over an 800-batch
+            # stream should not pay per-batch listing + footer reads for
+            # work it will immediately skip
+            n_skipped += 1
+            continue
         batch_df = spark.read.parquet(os.path.join(events_dir, f"batch_hint={bid}"))
         stats = apply_batch(
             table,

@@ -1142,6 +1142,11 @@ class LakeTable:
                     f"assignment for {c!r} must be a Column or SQL expression "
                     f"string, got {type(v).__name__}"
                 )
+            if self.schema.field_by_name(c) is None:
+                # withColumns would ADD an unknown column and _conform would
+                # silently drop it: the call would report rows "updated"
+                # while writing a byte-identical rewrite — fail loudly
+                raise ValueError(f"unknown column {c!r} in UPDATE assignments")
             if c == self.bucket_source or c in self.key_cols:
                 # rewriting the bucket-source (or a key) would migrate rows
                 # into buckets outside the touched set, corrupting the
@@ -1267,10 +1272,18 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # introspection
     # ------------------------------------------------------------------ #
-    def detail(self) -> dict:
+    def detail(self, exact_rows: bool = False) -> dict:
         """``DESCRIBE DETAIL`` analog (reference A7 size metric,
-        migration-data-validation.py:1642-1643): rows/files/bytes from
-        manifest + footers — metadata only, no scan."""
+        migration-data-validation.py:1642-1643): files/bytes from manifest +
+        footers — metadata only, no scan.
+
+        ``num_rows``: metadata-only while no MOR deltas are live.  With live
+        deltas an exact count requires resolving them (a full read — exactly
+        the steady state a monitoring loop polls in), so the default reports
+        the cheap BASE row count plus ``rows_approximate: True`` and the
+        delta byte/file pressure (:meth:`delta_detail` is the scan-free
+        compaction signal); pass ``exact_rows=True`` to pay the resolved
+        count."""
         files = self.manifest["files"]
         size = 0
         for f in files:
@@ -1280,14 +1293,21 @@ class LakeTable:
                 p = os.path.join(self.root, f["path"])
                 if os.path.exists(p):
                     size += os.path.getsize(p)
+        has_deltas = bool(self.manifest.get("deltas"))
+        if has_deltas and not exact_rows:
+            num_rows, approx = _manifest_rows(self.manifest), True
+        else:
+            num_rows, approx = self.row_count(), False
         out = {
             "num_files": len(files),
-            "num_rows": self.row_count(),
+            "num_rows": num_rows,
             "size_in_bytes": size,
             "num_buckets": self.num_buckets,
             "schema_id": self.manifest["schema_id"],
             "seq": self.manifest["seq"],
         }
+        if approx:
+            out["rows_approximate"] = True
         dd = self.delta_detail()
         if dd["num_delta_files"]:
             out["num_delta_files"] = dd["num_delta_files"]

@@ -7,6 +7,7 @@ import os
 from pyspark.sql import functions as F
 
 from data_migration_validator_spark.cdc import (
+    apply_batch,
     change_events,
     expected_final_state,
     replay,
@@ -126,5 +127,72 @@ def test_scenario_schema_evolution(spark, tmp_root):
         oracle,
         ["repo", "path"],
         ["commit", "language", "content"],
+    ).collect()[0]
+    assert rc["mismatches"] == 0 and rc["src_extras"] == 0 and rc["tgt_extras"] == 0
+
+
+def test_schema_evolution_idempotent_under_crash_retry(spark, tmp_root):
+    """Crash window: schema evolution committed its manifests but the batch
+    marker was lost.  Redelivery must no-op the already-applied actions
+    (add exists / rename done / widen done) instead of raising and wedging
+    the stream, and the final state must match the clean-run oracle."""
+    n = 600
+    ev = change_events(
+        spark, n, n_repos=8, seed=45, batch_size=600,
+        schema_change_at={
+            100: '{"action":"add_column","name":"stars","type":"int"}',
+            200: '{"action":"rename_column","from":"lang","to":"language"}',
+            300: '{"action":"widen_type","name":"stars","to":"bigint"}',
+        },
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"), SCHEMA, key_cols=["repo", "path"],
+        num_buckets=4,
+    )
+    apply_batch(t, ev, batch_id=0)
+    # lose the marker (crash after schema commits + merge, before marker)
+    os.remove(os.path.join(t.root, "_commits", "batch-0.json"))
+    apply_batch(t, ev, batch_id=0)  # must not raise
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.schema.field_by_name("stars").type == "bigint"
+    oracle = expected_final_state(ev).withColumnRenamed("lang", "language")
+    rc = reconcile_counts(
+        t2.read().select("repo", "path", "commit", "language", "content"),
+        oracle,
+        ["repo", "path"],
+        ["commit", "language", "content"],
+    ).collect()[0]
+    assert rc["mismatches"] == 0 and rc["src_extras"] == 0 and rc["tgt_extras"] == 0
+
+
+def test_cow_survives_key_and_bucket_column_rename(spark, tmp_root):
+    """Copy-on-write batches after a rename of the bucket-source/key column
+    must keep applying (key/bucket expressions resolve by field id, like the
+    merge-on-read path)."""
+    from pyspark.sql import functions as F
+
+    ev1 = change_events(
+        spark, 400, n_repos=8, seed=46, batch_size=400,
+        schema_change_at={
+            200: '{"action":"rename_column","from":"repo","to":"repository"}',
+        },
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"), SCHEMA, key_cols=["repo", "path"],
+        num_buckets=4,
+    )
+    apply_batch(t, ev1, batch_id=0, merge_mode="cow")
+    ev2 = change_events(
+        spark, 200, n_repos=8, seed=46, batch_size=200
+    ).withColumn("event_seq", F.col("event_seq") + 400)
+    apply_batch(t, ev2, batch_id=1, merge_mode="cow")  # post-rename batch
+
+    t2 = LakeTable.load(spark, t.root)
+    oracle = expected_final_state(
+        ev1.unionByName(ev2.withColumn("batch_hint", F.lit(1)))
+    ).withColumnRenamed("repo", "repository")
+    rc = reconcile_counts(
+        t2.read(), oracle, ["repository", "path"],
+        ["commit", "lang", "content"],
     ).collect()[0]
     assert rc["mismatches"] == 0 and rc["src_extras"] == 0 and rc["tgt_extras"] == 0
