@@ -521,6 +521,14 @@ def connected_components(
             labels = stepped.select("v", "label")
             if changed == 0:
                 break
+        else:
+            # exhausted max_iter while still changing: returning here would
+            # silently split one component into several cluster_ids
+            cached.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(a component's min-label path is longer); raise max_iter"
+            )
         # Materialize the result once (localCheckpoint cuts the iterative
         # lineage AND lets the loop's last cache be freed), so callers hold
         # a self-contained frame instead of a pin on this function's cache.

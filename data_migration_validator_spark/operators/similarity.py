@@ -64,11 +64,12 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-        )
+        ).filter(_norm(F.col("__qv")) > 0)
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    ).filter(_norm(F.col("__cv")) > 0)  # zero vectors have no direction;
+    # their NaN cosines would otherwise rank FIRST (NaN > any double)
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -133,7 +134,9 @@ def lsh_bucketed_topk(
     cosine ranking within candidates.  Output shape = brute_force_topk."""
 
     def with_sigs(df, idc, vc, alias_prefix):
-        out = df.select(F.col(idc).alias(f"{alias_prefix}_id"), F.col(vc).alias(f"__{alias_prefix}v"))
+        out = df.select(
+            F.col(idc).alias(f"{alias_prefix}_id"), F.col(vc).alias(f"__{alias_prefix}v")
+        ).filter(_norm(F.col(f"__{alias_prefix}v")) > 0)
         tables = F.array(
             *[
                 F.struct(
@@ -177,7 +180,10 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t) via
     LSH-bucketed self-join — the embedding leg of the dedup suite."""
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).filter(_norm(F.col("__v")) > 0)  # zero vectors: NaN cosine sorts ABOVE
+    # any double in Spark, so they would pass every >= threshold filter
     tables = F.array(
         *[
             F.struct(
@@ -253,6 +259,10 @@ def cosine_near_dup_exact(
             ).alias("__v"),
             "__blk",
         )
+        # lazy localCheckpoint: the normalized frame materializes once on
+        # first use and BOTH self-join sides read the checkpoint — without
+        # it each side re-runs the source scan + O(n*d) normalization
+        .localCheckpoint(eager=False)
     )
     grid = df.sparkSession.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],

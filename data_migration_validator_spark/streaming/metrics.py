@@ -76,19 +76,30 @@ class ProgressMetricsListener(StreamingQueryListener):
         with self._lock:
             return list(self.rows)
 
-    def flush_to(self, table: LakeTable) -> int:
-        """Append captured trigger rows to ``table`` and clear the buffer.
-        Returns the number of rows flushed.  Append semantics (ops metrics,
-        not data-plane state): duplicates across a crash-retry are possible
-        and harmless — consumers aggregate by (query_id, batch_id)."""
+    def flush_to(self, table: LakeTable, query_id: str | None = None) -> int:
+        """Append captured trigger rows to ``table``; returns rows flushed.
+
+        ``query_id``: the listener is session-wide (Spark delivers every
+        query's progress to every listener), so pass the owning query's id
+        to flush ONLY its rows — otherwise a concurrent stream's triggers
+        land in this table too.  Rows leave the buffer only AFTER the
+        append commits, so a failed append keeps them for retry (duplicates
+        across a crash-retry remain possible and harmless — consumers
+        aggregate by (query_id, batch_id))."""
         with self._lock:
-            rows, self.rows = self.rows, []
+            rows = [
+                r for r in self.rows
+                if query_id is None or r[0] == str(query_id)
+            ]
         if not rows:
             return 0
         df = table.spark.createDataFrame(
             rows, schema=", ".join(f"{n} {t}" for n, t in PROGRESS_SCHEMA)
         )
         table.append(df)
+        flushed = set(rows)
+        with self._lock:
+            self.rows = [r for r in self.rows if r not in flushed]
         return len(rows)
 
 

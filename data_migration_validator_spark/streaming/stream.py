@@ -137,6 +137,7 @@ def run_stream_once(
 
         listener = ProgressMetricsListener()
         table.spark.streams.addListener(listener)
+    query_id = None
     try:
         q = start_stream(
             table,
@@ -151,6 +152,7 @@ def run_stream_once(
             gate_ttl_minutes=gate_ttl_minutes,
             quarantine=quarantine,
         )
+        query_id = q.id
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
@@ -161,21 +163,28 @@ def run_stream_once(
             _drain_listener(listener)
             table.spark.streams.removeListener(listener)
     if listener is not None:
-        listener.flush_to(progress)
+        # flush ONLY this query's rows: the listener hears every stream in
+        # the shared session (rows are tagged with their query id at
+        # capture, so filtering at flush time is race-free)
+        listener.flush_to(progress, query_id=query_id)
 
 
 def _drain_listener(listener, max_wait_s: float = 10.0) -> None:
     """Listener events arrive on a separate driver thread after each trigger
-    commit; wait for the buffer to go stable (two identical consecutive
-    sizes — including stable-at-zero, so a no-new-input run exits in one
-    poll interval rather than the full window)."""
+    commit; wait for the buffer to go stable.  Stable-at-ZERO only counts
+    after a 2 s grace window — the last trigger's callback can take longer
+    than one poll interval to cross the py4j bridge, and exiting early
+    would silently flush nothing for a run that processed data.  A genuine
+    no-new-input run pays the 2 s once; runs with rows exit on the first
+    stable non-zero reading."""
     import time as _time
 
-    deadline = _time.monotonic() + max_wait_s
+    t0 = _time.monotonic()
+    deadline = t0 + max_wait_s
     last = -1
     while _time.monotonic() < deadline:
         n = len(listener.snapshot())
-        if n == last:
+        if n == last and (n > 0 or _time.monotonic() - t0 >= 2.0):
             break
         last = n
         _time.sleep(0.3)

@@ -117,7 +117,25 @@ def run_validation(
             clean_src = src
 
     ann = annotated_comparison(jsrc, jtgt, key_cols, compare_cols, date_col).persist()
+    try:
+        return _assemble_reports(
+            ann, src, tgt, jsrc, jtgt, key_cols, compare_cols, date_col,
+            quick, bucket_short_circuit, clean_matches, clean_src,
+            ordinal, name_type, compatibility, pk_src, pk_tgt,
+        )
+    except Exception:
+        # the persist belongs to this function: a failure after it (bad
+        # date_col expression, collect error) must not leak the cached
+        # src x tgt join for the session lifetime
+        ann.unpersist()
+        raise
 
+
+def _assemble_reports(
+    ann, src, tgt, jsrc, jtgt, key_cols, compare_cols, date_col,
+    quick, bucket_short_circuit, clean_matches, clean_src,
+    ordinal, name_type, compatibility, pk_src, pk_tgt,
+):
     counts = counts_from_annotated(ann)
     col_metrics = column_metrics_from_annotated(ann, compare_cols)
     if bucket_short_circuit:
