@@ -255,15 +255,29 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8"))
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)/*$", sf_dir)
+    sf = float(m.group(1)) if m else 0.1  # non-sf-named dirs: report 0.1-scale events
     spark = get_spark("bench", cores=cpus)
 
     qs = E.queries()
 
+    def _materialize(df):
+        """Force the FULL advertised computation: a bare .count() lets the
+        optimizer prune every projection (confirmed: text_stats collapses
+        to count(1) over an empty Project) and the final sort.  A bit_xor
+        over an xxhash of every output column forces each column's
+        expression tree to run, JVM-side, with O(1) collect size."""
+        from pyspark.sql import functions as F
+
+        h = F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
+        df.select(h).agg(F.expr("bit_xor(__h)")).collect()
+
     # Warm-up: one untimed pass over everything (JIT, codegen cache, file
     # listing, shuffle-service init).
     for name in HEADLINE:
-        qs[name](spark, sf_dir).count()
+        _materialize(qs[name](spark, sf_dir))
 
     # Interleaved min-of-k.
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
@@ -271,7 +285,7 @@ def main():
         for name in HEADLINE:
             _wait_for_quiet(max_load)
             t0 = time.monotonic()
-            qs[name](spark, sf_dir).count()
+            _materialize(qs[name](spark, sf_dir))
             samples[name].append(time.monotonic() - t0)
     per_query = {n: round(min(s), 3) for n, s in samples.items()}
 

@@ -75,15 +75,22 @@ def run(cores: int, n_events: int) -> dict:
         path = f.name
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg = os.path.join(tempfile.gettempdir(), "dmvs_pkg.zip")
-    if not os.path.exists(pkg):
+    if True:  # always rebuild: a cached zip silently benches stale code
         subprocess.run(
             ["zip", "-qr", pkg, "data_migration_validator_spark"],
             cwd=repo, check=True,
         )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     os.makedirs(local_dir, exist_ok=True)
+    # taskset pin, same as scaling_bench: an unpinned local[1] leg burns
+    # 1.3-1.8 cores via GC/Netty helper threads and inflates low-core
+    # efficiency, so unpinned per-phase numbers would disagree with the
+    # scaling evidence they exist to explain
+    pin = []
+    if os.environ.get("SCALING_NO_TASKSET") != "1":
+        pin = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"]
     out = subprocess.run(
-        ["spark-submit", "--master", f"local[{cores}]",
+        [*pin, "spark-submit", "--master", f"local[{cores}]",
          "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"),
          "--conf", f"spark.local.dir={local_dir}",
          "--py-files", pkg, path, str(n_events), str(cores)],

@@ -45,7 +45,10 @@ spark = (SparkSession.builder
 app_id = spark.sparkContext.applicationId
 
 def stages():
-    url = f"http://localhost:4055/api/v1/applications/{app_id}/stages?status=complete"
+    # derive from the bound UI (port 4055 may be taken; Spark then binds
+    # the next free port and a hardcoded URL would 404)
+    base = spark.sparkContext.uiWebUrl
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
     with urllib.request.urlopen(url) as r:
         return json.load(r)
 
@@ -107,7 +110,9 @@ with tempfile.TemporaryDirectory(dir="/dev/shm") as tmp:
     seen = set()
     stage_rows(seen)  # swallow warmup stages
     merge_mode = os.environ.get("REPLAY_MERGE_MODE") or None
-    salt = int(os.environ.get("REPLAY_SALT_BUCKETS", "16"))
+    # library default (single-phase): profiling a salted job would diagnose
+    # a code path the scaling benchmark never runs
+    salt = int(os.environ.get("REPLAY_SALT_BUCKETS", "1"))
     for bid in pending_batches(table, f"{tmp}/events"):
         t0 = time.monotonic()
         replay(table, f"{tmp}/events", batch_ids=[bid], merge_mode=merge_mode,
@@ -144,7 +149,7 @@ def main() -> None:
         path = f.name
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg = os.path.join(tempfile.gettempdir(), "dmvs_pkg.zip")
-    if not os.path.exists(pkg):
+    if True:  # always rebuild: a cached zip silently benches stale code
         subprocess.run(["zip", "-qr", pkg, "data_migration_validator_spark"],
                        cwd=repo, check=True)
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")

@@ -79,6 +79,29 @@ def main() -> None:
                     help="routing column for --demux-tables")
     args = ap.parse_args()
 
+    # fail fast on flags the selected mode silently ignores — an operator
+    # who asked for the ordering gate must not believe it is on when the
+    # batch path never wires it
+    stream_only = {
+        "--ordering-gate": args.ordering_gate,
+        "--gate-ttl-minutes": args.gate_ttl_minutes is not None,
+        "--compact-ratio": args.compact_ratio is not None,
+        "--progress-root": args.progress_root is not None,
+    }
+    if args.mode == "batch":
+        bad = [k for k, v in stream_only.items() if v]
+        if bad:
+            ap.error(f"{', '.join(bad)} only apply to --mode stream")
+    if args.mode == "stream" and args.count_deletes:
+        ap.error("--count-deletes only applies to --mode batch")
+    if args.demux_tables:
+        demux_unsupported = {
+            **stream_only, "--count-deletes": args.count_deletes,
+        }
+        bad = [k for k, v in demux_unsupported.items() if v]
+        if bad:
+            ap.error(f"{', '.join(bad)} not supported with --demux-tables")
+
     spark = SparkSession.builder.getOrCreate()
     if args.demux_tables:
         _run_demux(spark, args)

@@ -367,7 +367,7 @@ def spark_submit(cores: int, script: str, args: list[str]) -> str:
         path = f.name
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg = os.path.join(tempfile.gettempdir(), "dmvs_pkg.zip")
-    if not os.path.exists(pkg):
+    if True:  # always rebuild: a cached zip silently benches stale code
         subprocess.run(
             ["zip", "-qr", pkg, "data_migration_validator_spark"],
             cwd=repo, check=True,
@@ -413,7 +413,8 @@ def main():
     workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm")
     with tempfile.TemporaryDirectory(dir=workdir) as tmp:
         events_dir = os.path.join(tmp, "events")
-        spark_submit(32, GEN, [str(n_events), events_dir, str(n_repos), str(n_batches)])
+        spark_submit(min(32, os.cpu_count() or 32), GEN,
+                     [str(n_events), events_dir, str(n_repos), str(n_batches)])
 
         # The physical host is shared: co-tenant storms (CPU-steal AND
         # kernel/memory modes — see module docstring) inflate identical
