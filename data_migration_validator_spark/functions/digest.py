@@ -37,12 +37,40 @@ def null_safe_string(col: str | Column) -> Column:
     return F.coalesce(c.cast("string"), F.lit(""))
 
 
-def row_digest(cols: list[str | Column], sep: str = ":") -> Column:
+def row_digest(
+    cols: list[str | Column], sep: str = ":", injective: bool = False
+) -> Column:
     """sha256 hex digest of the null-safe-string concatenation of ``cols``.
 
     JVM-side (``sha2``/``concat_ws``): stays inside whole-stage codegen.
+
+    The default encoding mirrors the REFERENCE's (coalesce-to-'' + ':'
+    join, see module docstring) and therefore inherits its ambiguities:
+    NULL hashes like '' and ('a:b','c') like ('a','b:c').  Pass
+    ``injective=True`` for a collision-free-by-construction encoding —
+    each value is tagged (N for null, V for value) and length-prefixed, so
+    digest equality implies per-column stringified-value + nullness
+    equality.  Use the injective form where digest-equal must imply the
+    row-level ``eqNullSafe`` comparison would also match (the validation
+    pipeline's bucket short-circuit); keep the default where reference
+    digest parity is the contract.
     """
-    return F.sha2(F.concat_ws(sep, *[null_safe_string(c) for c in cols]), 256)
+    if not injective:
+        return F.sha2(
+            F.concat_ws(sep, *[null_safe_string(c) for c in cols]), 256
+        )
+    parts = []
+    for col in cols:
+        c = F.col(col) if isinstance(col, str) else col
+        cs = c.cast("string")
+        parts.append(
+            F.when(cs.isNull(), F.lit("\x00N")).otherwise(
+                F.concat(
+                    F.lit("\x00V"), F.length(cs).cast("string"), F.lit(":"), cs
+                )
+            )
+        )
+    return F.sha2(F.concat(*parts), 256)
 
 
 @F.pandas_udf(StringType())

@@ -18,11 +18,21 @@ from dataclasses import dataclass, field
 from pyspark.sql import types as T
 
 # widen-only lattice: frm -> set of allowed wider types (transitively closed).
-_NUMERIC_ORDER = ["tinyint", "smallint", "int", "bigint", "double", "string"]
+# Integer widening stays within the integer chain; bigint -> double is NOT
+# allowed (double's 53-bit mantissa cannot represent every bigint — values
+# past 2^53 would round silently, the exact loss the gate exists to forbid).
+# float -> double is exact; small integers fit float/double exactly
+# (|values| < 2^24 / 2^53), int fits double but not float.
+_INT_ORDER = ["tinyint", "smallint", "int", "bigint"]
 _WIDEN: dict[str, set[str]] = {}
-for i, t in enumerate(_NUMERIC_ORDER):
-    _WIDEN[t] = set(_NUMERIC_ORDER[i + 1 :])
+for i, t in enumerate(_INT_ORDER):
+    _WIDEN[t] = set(_INT_ORDER[i + 1 :]) | {"string"}
+_WIDEN["tinyint"] |= {"float", "double"}
+_WIDEN["smallint"] |= {"float", "double"}
+_WIDEN["int"] |= {"double"}
 _WIDEN["float"] = {"double", "string"}
+_WIDEN["double"] = {"string"}
+_WIDEN["bigint"] |= set()  # NOT double: 2^53 rounding
 _WIDEN["decimal"] = {"string"}
 _WIDEN["date"] = {"timestamp", "string"}
 _WIDEN["timestamp"] = {"string"}
@@ -37,12 +47,49 @@ def _base(type_str: str) -> str:
     return type_str.split("(")[0].strip().lower()
 
 
+def _params(type_str: str) -> tuple[int, ...] | None:
+    """Parenthesized type parameters, e.g. decimal(38,10) -> (38, 10)."""
+    s = type_str.strip()
+    if "(" not in s:
+        return None
+    inner = s[s.index("(") + 1 : s.rindex(")")]
+    try:
+        return tuple(int(p.strip()) for p in inner.split(","))
+    except ValueError:
+        return None
+
+
 def can_widen(frm: str, to: str) -> bool:
-    """True iff ``frm -> to`` is a lossless widening."""
+    """True iff ``frm -> to`` is a lossless widening.
+
+    Same-base parameterized types compare their parameters — stripping them
+    would wave decimal(38,10) -> decimal(5,2) (or varchar(100) ->
+    varchar(10)) through a gate whose whole contract is "no value can be
+    lost": decimal may only grow integral digits and scale
+    (Iceberg's rule: precision-scale and scale both non-decreasing);
+    char/varchar may only grow their length; an unparameterized target
+    (plain ``string``/``decimal``) is the unbounded form and always fits.
+    """
     f, t = _base(frm), _base(to)
     if f == t:
-        return True
-    return t in _WIDEN.get(f, set())
+        pf, pt = _params(frm), _params(to)
+        if pf is None or pt is None:
+            # unparameterized source fits anything same-base; an
+            # unparameterized target is the unbounded form
+            return True
+        if f == "decimal":
+            (p1, s1), (p2, s2) = (tuple(pf) + (0,))[:2], (tuple(pt) + (0,))[:2]
+            return (p2 - s2) >= (p1 - s1) and s2 >= s1
+        # length-parameterized (char/varchar): length may only grow
+        return pt[0] >= pf[0]
+    ok = t in _WIDEN.get(f, set())
+    if ok and f in ("char", "varchar") and t in ("char", "varchar"):
+        # cross-base length types (char -> varchar): length still may not
+        # shrink — char(10) -> varchar(2) would truncate
+        pf, pt = _params(frm), _params(to)
+        if pf is not None and pt is not None:
+            return pt[0] >= pf[0]
+    return ok
 
 
 def parse_type(type_str: str) -> T.DataType:

@@ -42,14 +42,25 @@ def recover_hive_partitions(
     one projection; no per-file driver loop.
 
     ``partition_cols`` maps column name → spark type string.
+
+    Matches native recovery on two edges the naive extract misses: the
+    column name is regex-escaped (a name like ``a+b`` must match literally)
+    and the extracted value is percent-DECODED — Spark's writer escapes
+    special chars in partition values (``lang=c++`` lands as
+    ``lang=c%2B%2B/``), so the raw path fragment is not the value.
     """
+    import re as _re
+
     out = df
     for name, typ in partition_cols.items():
+        raw = F.regexp_extract(
+            F.col("_metadata.file_path"),
+            f"(^|/){_re.escape(name)}=([^/]+)/",
+            2,
+        )
         out = out.withColumn(
             name,
-            F.regexp_extract(
-                F.col("_metadata.file_path"), f"(^|/){name}=([^/]+)/", 2
-            ).cast(typ),
+            F.when(raw == "", F.lit(None)).otherwise(F.url_decode(raw)).cast(typ),
         )
     return out
 

@@ -104,6 +104,27 @@ def decode_teradata_types(
     )
 
 
+_IDENT_RE = None
+
+
+def _safe_ident(name: str) -> str:
+    """Validate an identifier interpolated into a catalog-scan literal.
+
+    These builders splice db/schema/table names into remote SQL strings; a
+    quote in the value (legal in quoted identifiers, or attacker-supplied
+    via the mapping CSV) would break out of the literal and push arbitrary
+    predicates down to the warehouse.  Conservative allow-list — no quoting
+    games, just reject."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"^[A-Za-z0-9_$#.]+$")
+    if not _IDENT_RE.match(name or ""):
+        raise ValueError(f"unsafe identifier for catalog query: {name!r}")
+    return name
+
+
 def teradata_schema_query(db_name: str, table_name: str) -> str:
     """Remote pushdown subquery over DBC.ColumnsV (teradata-extract.py:
     49-114) — ordinal via ROW_NUMBER over ColumnId; the type decode happens
@@ -113,8 +134,8 @@ def teradata_schema_query(db_name: str, table_name: str) -> str:
         "ROW_NUMBER() OVER (ORDER BY ColumnId) AS ColumnOrder, "
         "ColumnType, CharType, ColumnLength, DecimalTotalDigits, "
         "DecimalFractionalDigits, Nullable, CommentString "
-        f"FROM DBC.ColumnsV WHERE DatabaseName = '{db_name}' "
-        f"AND TableName = '{table_name}') a"
+        f"FROM DBC.ColumnsV WHERE DatabaseName = '{_safe_ident(db_name)}' "
+        f"AND TableName = '{_safe_ident(table_name)}') a"
     )
 
 
@@ -124,30 +145,39 @@ def mssql_schema_query(db_name: str, table_name: str) -> str:
     return (
         "SELECT a.*, b.ColumnComment AS COLUMN_COMMENT "
         "FROM information_schema.columns a "
-        "LEFT JOIN (SELECT o.name AS Table_Name, c.name AS ColumnName, "
+        "LEFT JOIN (SELECT SCHEMA_NAME(o.schema_id) AS Schema_Name, "
+        "o.name AS Table_Name, c.name AS ColumnName, "
         "CONVERT(VARCHAR(MAX), ep.value) AS ColumnComment "
         "FROM sys.columns c "
         "LEFT JOIN sys.objects o ON c.object_id = o.object_id "
         "LEFT JOIN sys.extended_properties ep "
         "ON ep.major_id = c.object_id AND ep.minor_id = c.column_id "
         "WHERE LOWER(ep.name) = 'ms_description') b "
-        "ON a.TABLE_NAME = b.Table_Name AND a.COLUMN_NAME = b.ColumnName "
-        f"WHERE a.table_schema = '{db_name}' AND a.table_name = '{table_name}'"
+        # schema-qualified: a same-named table in another schema would
+        # otherwise fan the LEFT JOIN out and duplicate catalog rows
+        "ON a.TABLE_SCHEMA = b.Schema_Name "
+        "AND a.TABLE_NAME = b.Table_Name AND a.COLUMN_NAME = b.ColumnName "
+        f"WHERE a.table_schema = '{_safe_ident(db_name)}' "
+        f"AND a.table_name = '{_safe_ident(table_name)}'"
     )
 
 
 def netezza_schema_query(table_name: str) -> str:
     """``_v_relation_column`` catalog scan (netezza-extract.py:50)."""
-    return f"(SELECT * FROM _v_relation_column WHERE name = '{table_name}') a"
+    return (
+        "(SELECT * FROM _v_relation_column "
+        f"WHERE name = '{_safe_ident(table_name)}') a"
+    )
 
 
 def snowflake_schema_query(database: str, schema: str, table_name: str) -> str:
     """information_schema.columns scan (snowflake-extract.py:53-75 shape)."""
     return (
         "SELECT column_name, data_type, ordinal_position, is_nullable, comment "
-        f"FROM {database}.information_schema.columns "
-        f"WHERE table_schema = '{schema.upper()}' "
-        f"AND table_name = '{table_name.upper()}' ORDER BY ordinal_position"
+        f"FROM {_safe_ident(database)}.information_schema.columns "
+        f"WHERE table_schema = '{_safe_ident(schema).upper()}' "
+        f"AND table_name = '{_safe_ident(table_name).upper()}' "
+        "ORDER BY ordinal_position"
     )
 
 

@@ -106,17 +106,14 @@ def windowed_event_metrics(
 #: Pass-through payload of the ordering gate (input minus the grouping key).
 #: Carries the full event-stream shape (schema_change, batch_hint included)
 #: so the gate's output is drop-in for the ingest sink (cdc.apply_batch).
-_GATE_PAYLOAD = (
-    "event_seq bigint, op string, commit string, lang string, "
-    "content string, schema_change string, batch_hint int"
-)
-_GATE_OUTPUT = "repo string, path string, " + _GATE_PAYLOAD
 _GATE_STATE = "max_seq bigint"
 
 
 def stateful_ordering_gate(
     stream: DataFrame,
     ttl_minutes: float | None = None,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    order_col: str = "event_seq",
 ) -> DataFrame:
     """Per-key monotonic sequence gate: emit only events that advance the
     key's highest-seen ``event_seq``; stale redeliveries are dropped.
@@ -128,11 +125,25 @@ def stateful_ordering_gate(
     ``ttl_minutes`` bounds state via ProcessingTimeTimeout eviction; after
     an eviction a sufficiently late duplicate would re-emit — exactness vs
     bounded memory is the caller's trade (module docstring).
+
+    The payload/output schema is DERIVED from the input stream (everything
+    but the key columns), so the gate works unchanged on extended streams —
+    e.g. the multi-table demux feed with its routing column — instead of
+    hard-coding the canonical fixture's columns.
     """
-    payload_cols = [
-        "event_seq", "op", "commit", "lang", "content",
-        "schema_change", "batch_hint",
-    ]
+    key_cols = list(key_cols)
+    payload_cols = [c for c in stream.columns if c not in key_cols]
+    if order_col not in payload_cols:
+        raise ValueError(f"stream lacks order column {order_col!r}")
+    out_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields
+        if f.name in key_cols
+    ) + ", " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields
+        if f.name not in key_cols
+    )
 
     def gate(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -148,19 +159,19 @@ def stateful_ordering_gate(
         chunks = list(pdfs)
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         fresh = (
-            pdf.sort_values("event_seq")
-            .drop_duplicates(subset=["event_seq"], keep="first")
+            pdf.sort_values(order_col)
+            .drop_duplicates(subset=[order_col], keep="first")
         )
-        fresh = fresh[fresh["event_seq"] > max_seq]
+        fresh = fresh[fresh[order_col] > max_seq]
         if len(fresh):
-            max_seq = int(fresh["event_seq"].iloc[-1])
+            max_seq = int(fresh[order_col].iloc[-1])
         state.update((max_seq,))
         if ttl_minutes is not None:
             state.setTimeoutDuration(int(ttl_minutes * 60_000))
         if len(fresh):
             fresh = fresh[payload_cols].copy()
-            fresh.insert(0, "path", key[1])
-            fresh.insert(0, "repo", key[0])
+            for i, (k, v) in enumerate(zip(key_cols, key)):
+                fresh.insert(i, k, v)
             yield fresh
 
     timeout = (
@@ -169,7 +180,7 @@ def stateful_ordering_gate(
         else GroupStateTimeout.NoTimeout
     )
     return (
-        stream.select("repo", "path", *payload_cols)
-        .groupBy("repo", "path")
-        .applyInPandasWithState(gate, _GATE_OUTPUT, _GATE_STATE, "update", timeout)
+        stream.select(*key_cols, *payload_cols)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(gate, out_ddl, _GATE_STATE, "update", timeout)
     )

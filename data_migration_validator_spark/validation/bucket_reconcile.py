@@ -8,7 +8,7 @@ module replaces the wide shuffle with:
 
 1. one narrow scan per side producing a bounded aggregate — per hash bucket
    (``pmod(xxhash64(keys), n_buckets)``) the row count and two independent
-   60-bit XOR folds of each row's sha256 digest.  The map side collapses to
+   60-bit digest slices SUMMED as exact decimals.  The map side collapses to
    ≤ n_buckets rows per task (hash aggregate partials), so the only exchange
    moves O(tasks × n_buckets) tiny rows;
 2. a driver-side compare of the two ≤ n_buckets summaries (bounded collect);
@@ -16,15 +16,30 @@ module replaces the wide shuffle with:
    only — both sides filtered by the same bucket expression, so the rescan
    shuffles just the slice that can contain anomalies.
 
-Equal multisets per bucket ⇒ equal (count, xor₁, xor₂); the converse is
+Equal multisets per bucket ⇒ equal (count, sum₁, sum₂); the converse is
 probabilistic: a differing bucket escapes detection only if its symmetric
-difference XOR-cancels in BOTH independent 60-bit folds AND matches counts —
-~2⁻¹²⁰ per bucket for non-adversarial corruption (sha256 input makes
-crafting cancellations as hard as finding structured collisions).  Exact
-duplicate-pair cancellation (a PK-violating row appearing 2k extra times)
-is caught by the row count.  Callers needing certainty re-run the exact
-reconcile; the anomalies this returns are exactly the full reconcile's
-non-MATCH rows whenever the digest pass is truthful.
+difference sums to zero in BOTH independent 60-bit folds AND matches counts.
+SUM, not XOR, is the multiset fold: an XOR fold cancels any EVEN-multiplicity
+difference deterministically (src holding row X twice vs tgt holding row Y
+twice gives X^X = Y^Y = 0 in every fold — always a false clean), whereas the
+exact-decimal sums differ unless the slice VALUES collide, ~2⁻¹²⁰ combined
+for non-adversarial corruption (sha256 input makes crafting cancellations as
+hard as finding structured collisions).  Callers needing certainty re-run
+the exact reconcile; the anomalies this returns are exactly the full
+reconcile's non-MATCH rows whenever the digest pass is truthful.
+
+Preconditions for "anomalies == full reconcile's non-MATCH rows":
+
+- key columns are non-null on both sides (the engine's quarantine enforces
+  this at ingest).  A NULL key hashes deterministically into a bucket — the
+  digest pass will happily MATCH two identical null-key rows — but the
+  full-outer join never joins NULL keys, so the row-level pass would call
+  them SRC_EXTRA + TGT_EXTRA.  With null keys, run the exact reconcile.
+- bucket digests use ``row_digest(..., injective=True)`` (null-tagged,
+  length-prefixed), so digest-equal implies stringified-value + nullness
+  equality per column — NULL-vs-'' and separator shifts cannot produce a
+  false clean.  Binary columns are the one caveat (cast-to-string is not
+  injective for them); don't short-circuit on binary compare columns.
 
 Reference parity: this is a scale-path alternative to getHashAnomalies
 (migration-data-validation.py:887-924), whose 4-join plan the plain
@@ -41,7 +56,8 @@ from ..functions.digest import row_digest
 from .reconcile import hash_reconcile
 
 #: Independent 60-bit slices of the sha256 hex digest (15 hex chars each,
-#: parsed base-16 → non-negative bigint, safe for bit_xor).
+#: parsed base-16 → non-negative bigint, summed as decimal(38,0): headroom
+#: for 10^19 rows per bucket with zero overflow under ANSI mode).
 _SLICES = ((1, 15), (16, 15))
 
 
@@ -58,7 +74,7 @@ def bucket_digests(
     n_buckets: int = 1024,
     bucket_expr: F.Column | None = None,
 ) -> DataFrame:
-    """Per-bucket (bucket, n_rows, xor1, xor2) — one narrow scan, one tiny
+    """Per-bucket (bucket, n_rows, sum1, sum2) — one narrow scan, one tiny
     exchange (map-side partials collapse each task to ≤ n_buckets rows).
 
     ``bucket_expr`` overrides the default key-hash bucketing; it must be a
@@ -66,9 +82,14 @@ def bucket_digests(
     layout expression) so a key lands in the same bucket on both sides."""
     if bucket_expr is None:
         bucket_expr = _bucket_expr(key_cols, n_buckets)
-    h = row_digest(list(key_cols) + list(compare_cols))
+    # injective encoding: digest-equal must imply the row-level comparison
+    # (eqNullSafe on stringified values) also matches — the reference's
+    # lenient encoding would wave NULL-vs-'' and separator shifts through
+    h = row_digest(list(key_cols) + list(compare_cols), injective=True)
     slices = {
-        f"__h{i}": F.conv(F.substring(h, start, width), 16, 10).cast("long")
+        f"__h{i}": F.conv(F.substring(h, start, width), 16, 10)
+        .cast("long")
+        .cast("decimal(28,0)")
         for i, (start, width) in enumerate(_SLICES)
     }
     return (
@@ -78,8 +99,8 @@ def bucket_digests(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.bit_xor("__h0").alias("xor1"),
-            F.bit_xor("__h1").alias("xor2"),
+            F.sum("__h0").alias("sum1"),
+            F.sum("__h1").alias("sum2"),
         )
     )
 
@@ -93,27 +114,27 @@ def bucket_summary(
     bucket_expr: F.Column | None = None,
 ) -> DataFrame:
     """Full-outer join of the two bucket-digest frames: one row per bucket
-    present on either side with ``bucket_match`` = counts and both XOR folds
+    present on either side with ``bucket_match`` = counts and both sum folds
     null-safe-equal.  ≤ n_buckets rows — safe to collect."""
     if compare_cols is None:
         compare_cols = sorted(set(src.columns) & set(tgt.columns) - set(key_cols))
     sd = bucket_digests(src, key_cols, compare_cols, n_buckets, bucket_expr).select(
         "bucket",
         F.col("n_rows").alias("src_rows"),
-        F.col("xor1").alias("src_xor1"),
-        F.col("xor2").alias("src_xor2"),
+        F.col("sum1").alias("src_sum1"),
+        F.col("sum2").alias("src_sum2"),
     )
     td = bucket_digests(tgt, key_cols, compare_cols, n_buckets, bucket_expr).select(
         "bucket",
         F.col("n_rows").alias("tgt_rows"),
-        F.col("xor1").alias("tgt_xor1"),
-        F.col("xor2").alias("tgt_xor2"),
+        F.col("sum1").alias("tgt_sum1"),
+        F.col("sum2").alias("tgt_sum2"),
     )
     j = sd.join(td, on="bucket", how="full_outer")
     match = (
         F.col("src_rows").eqNullSafe(F.col("tgt_rows"))
-        & F.col("src_xor1").eqNullSafe(F.col("tgt_xor1"))
-        & F.col("src_xor2").eqNullSafe(F.col("tgt_xor2"))
+        & F.col("src_sum1").eqNullSafe(F.col("tgt_sum1"))
+        & F.col("src_sum2").eqNullSafe(F.col("tgt_sum2"))
     )
     return j.withColumn("bucket_match", match)
 

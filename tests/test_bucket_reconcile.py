@@ -124,3 +124,36 @@ def test_lake_bucket_reconcile_uses_table_layout(spark, tmp_path):
     # all of r3's keys share the storage bucket (bucket_source = repo), so
     # the dirty rescan touches at most 2 of the 8 buckets' files
     assert len(set(bad)) <= 2
+
+
+def test_even_multiplicity_difference_is_detected(spark):
+    """Regression for the XOR-fold blind spot: src holding row X twice vs
+    tgt holding row Y twice (equal counts) cancelled every XOR fold
+    deterministically and was declared clean.  The decimal-sum folds must
+    flag the bucket."""
+    from data_migration_validator_spark.validation.bucket_reconcile import (
+        bucket_reconcile,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "base")], "k long, v string"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "y"), (1, "y"), (2, "base")], "k long, v string"
+    )
+    bad, anomalies = bucket_reconcile(src, tgt, ["k"], ["v"], n_buckets=4)
+    assert bad, "differing even-multiplicity bucket must be flagged"
+    assert anomalies.count() > 0
+
+
+def test_null_vs_empty_string_is_detected(spark):
+    """The injective digest encoding must flag NULL-vs-'' differences the
+    reference's lenient coalesce-to-'' encoding hashes identically."""
+    from data_migration_validator_spark.validation.bucket_reconcile import (
+        bucket_reconcile,
+    )
+
+    src = spark.createDataFrame([(1, ""), (2, "same")], "k long, v string")
+    tgt = spark.createDataFrame([(1, None), (2, "same")], "k long, v string")
+    bad, _ = bucket_reconcile(src, tgt, ["k"], ["v"], n_buckets=4)
+    assert bad, "NULL-vs-empty-string bucket must be flagged"
