@@ -664,10 +664,15 @@ def q_ngram_jaccard(spark, sf_dir):
 _SRC_STORE = [
     ("id", "int", 1), ("name", "string", 2), ("score", "float", 3),
     ("created", "date", 4), ("flag", "int", 5), ("only_src", "string", 6),
+    # parameterized pairs: the compat gate must refuse narrowing
+    ("amount", "decimal(38,10)", 7), ("label", "varchar(10)", 8),
+    ("code", "char(10)", 9),
 ]
 _TGT_STORE = [
     ("id", "bigint", 1), ("name", "string", 2), ("score", "double", 3),
     ("created", "string", 4), ("flag", "boolean", 5), ("only_tgt", "string", 6),
+    ("amount", "decimal(5,2)", 7), ("label", "varchar(100)", 8),
+    ("code", "varchar(2)", 9),
 ]
 
 
@@ -1084,16 +1089,33 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN LOWER(s.data_type) IS NOT DISTINCT FROM LOWER(t.data_type)
                             THEN 'MATCH' ELSE 'MISMATCH' END AS datatype_compare
                 FROM s FULL OUTER JOIN t ON LOWER(s.col_name) = LOWER(t.col_name)
+            ),
+            p AS (
+                SELECT *,
+                       STRING_SPLIT(LOWER(src_data_type), '(')[1] AS sb,
+                       STRING_SPLIT(LOWER(tgt_data_type), '(')[1] AS tb,
+                       TRY_CAST(NULLIF(REGEXP_EXTRACT(LOWER(src_data_type), '\\((\\d+)', 1), '') AS INT) AS sp,
+                       COALESCE(TRY_CAST(NULLIF(REGEXP_EXTRACT(LOWER(src_data_type), '\\(\\d+\\s*,\\s*(\\d+)', 1), '') AS INT), 0) AS ss,
+                       TRY_CAST(NULLIF(REGEXP_EXTRACT(LOWER(tgt_data_type), '\\((\\d+)', 1), '') AS INT) AS tp,
+                       COALESCE(TRY_CAST(NULLIF(REGEXP_EXTRACT(LOWER(tgt_data_type), '\\(\\d+\\s*,\\s*(\\d+)', 1), '') AS INT), 0) AS ts
+                FROM j
             )
             SELECT col_key, src_data_type, tgt_data_type, col_name_compare,
                    datatype_compare,
                    CASE WHEN datatype_compare = 'MATCH' THEN TRUE
                         WHEN src_data_type IS NULL OR tgt_data_type IS NULL THEN FALSE
                         ELSE EXISTS (SELECT 1 FROM widen w
-                                     WHERE w.frm = STRING_SPLIT(LOWER(src_data_type), '(')[1]
-                                       AND w.wide = STRING_SPLIT(LOWER(tgt_data_type), '(')[1])
+                                     WHERE w.frm = p.sb AND w.wide = p.tb)
+                             AND (CASE
+                                  WHEN sp IS NULL OR tp IS NULL THEN TRUE
+                                  WHEN sb = 'decimal' AND tb = 'decimal'
+                                      THEN (tp - ts) >= (sp - ss) AND ts >= ss
+                                  WHEN sb IN ('char', 'varchar')
+                                       AND tb IN ('char', 'varchar')
+                                      THEN tp >= sp
+                                  ELSE TRUE END)
                    END AS compatible
-            FROM j ORDER BY col_key
+            FROM p ORDER BY col_key
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

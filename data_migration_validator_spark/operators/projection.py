@@ -57,7 +57,7 @@ def null_safe_string_projection(
 ) -> DataFrame:
     """P4: ``COALESCE(CAST(c AS STRING), '') AS c`` sorted by name
     (processDatabricksColNames, databricks-extract.py:126-154)."""
-    cols = sorted(columns or df.columns)
+    cols = sorted(df.columns if columns is None else columns)
     return df.select(
         *[F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in cols]
     )

@@ -38,10 +38,15 @@ def quality_metrics(text_col: str | Column) -> dict[str, Column]:
     """Quality-scoring columns: length, tokens, mean token length,
     punctuation/digit/uppercase ratios, stopword ratio, and a composite
     [0,1] quality score (heuristics in the C4/Gopher-rules spirit)."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    n_chars = F.length(F.coalesce(c, F.lit("")))
-    toks = _tokens(F.coalesce(c, F.lit("")))
-    n_tokens = token_count(F.coalesce(c, F.lit("")))
+    raw = F.col(text_col) if isinstance(text_col, str) else text_col
+    # coalesce ONCE and use the null-safe form everywhere: regexp_count on
+    # a NULL yields NULL, which would make every ratio (and the composite
+    # score) NULL for null docs — rows that then vanish from BOTH branches
+    # of any score-threshold filter
+    c = F.coalesce(raw, F.lit(""))
+    n_chars = F.length(c)
+    toks = _tokens(c)
+    n_tokens = token_count(c)
     punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
     digits = F.regexp_count(c, F.lit(r"[0-9]"))
     uppers = F.regexp_count(c, F.lit(r"[A-Z]"))

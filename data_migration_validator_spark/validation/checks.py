@@ -46,12 +46,34 @@ def windowed_validation(
             (set(src.columns) & set(tgt.columns)) - set(key_cols)
         )
     rec = hash_reconcile(s, t, key_cols, compare_cols)
-    dates = (
-        s.select(*key_cols, "__src_date")
-        .join(t.select(*key_cols, "__tgt_date"), on=list(key_cols), how="full_outer")
-        .select(*key_cols, F.coalesce("__src_date", "__tgt_date").alias("bucket_date"))
-    )
-    j = rec.join(dates, on=list(key_cols), how="inner")
+    # NULL-SAFE joins throughout: a row with a NULL key survives
+    # hash_reconcile as an extra, but plain equi-joins would drop it here,
+    # making the windowed totals disagree with reconcile_counts.  Frames
+    # are explicitly aliased — src/tgt often derive from the same source,
+    # and unqualified self-join columns are ambiguous.
+    from functools import reduce
+
+    def _ns(la, ra):
+        return reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"{la}.{k}").eqNullSafe(F.col(f"{ra}.{k}"))
+                for k in key_cols
+            ],
+        )
+
+    sdf = s.select(*key_cols, "__src_date").alias("__wsrc")
+    tdf = t.select(*key_cols, "__tgt_date").alias("__wtgt")
+    dates = sdf.join(tdf, _ns("__wsrc", "__wtgt"), "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__wsrc.{k}"), F.col(f"__wtgt.{k}")).alias(k)
+            for k in key_cols
+        ],
+        F.coalesce("__src_date", "__tgt_date").alias("bucket_date"),
+    ).alias("__wdat")
+    j = rec.alias("__wrec").join(
+        dates, _ns("__wrec", "__wdat"), "inner"
+    ).select(F.col("__wdat.bucket_date"), F.col("__wrec.status"))
     return (
         j.groupBy("bucket_date")
         .agg(

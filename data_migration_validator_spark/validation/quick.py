@@ -30,11 +30,18 @@ def anomalous_keys(
     """Keys whose digests disagree (MISMATCH / SRC_EXTRA / TGT_EXTRA).
 
     ``limit`` reproduces the reference's cap when explicitly requested
-    (migration-data-validation.py:900-902); default is uncapped.
+    (migration-data-validation.py:900-902); default is uncapped.  A capped
+    key set is MATERIALIZED (localCheckpoint) before being returned: a bare
+    ``.limit(n)`` re-executes nondeterministically per downstream action, so
+    the three frames quick_validate returns could otherwise be computed
+    over three DIFFERENT key subsets (the reference collected its capped
+    set once and reused it — same idea, kept distributed).
     """
     rec = hash_reconcile(src, tgt, key_cols, compare_cols)
     bad = rec.filter(F.col("status") != "MATCH").select(*key_cols, "status")
-    return bad.limit(limit) if limit is not None else bad
+    if limit is None:
+        return bad
+    return bad.limit(limit).localCheckpoint(eager=True)
 
 
 def fetch_anomalous_rows(

@@ -125,6 +125,36 @@ def full_outer_report(
     return j.withColumn("row_match", all_match if all_match is not None else F.lit(True))
 
 
+def _unpivot_column_metrics(wide, compare_cols: list[str]):
+    """Unpivot the 1-row wide per-column aggregate to (column_name, ...)
+    rows.  ``stack(0, )`` is a parse error, so an EMPTY compare list (pure
+    key-presence validation) returns a correctly-typed empty frame instead
+    of crashing the pipeline."""
+    if not compare_cols:
+        return wide.select(
+            F.lit(None).cast("string").alias("column_name"),
+            "total_overlaps",
+            F.lit(None).cast("long").alias("matches"),
+            F.lit(None).cast("long").alias("mismatches"),
+            "src_extras",
+            "tgt_extras",
+        ).limit(0)
+    stack_items = ", ".join(
+        f"'{c}', `__m__{c}`, `__x__{c}`" for c in compare_cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(compare_cols)}, {stack_items}) as (column_name, matches, mismatches)"
+        ),
+        "total_overlaps",
+        "src_extras",
+        "tgt_extras",
+    ).select(
+        "column_name", "total_overlaps", "matches", "mismatches",
+        "src_extras", "tgt_extras",
+    )
+
+
 def column_mismatch_metrics(
     src: DataFrame,
     tgt: DataFrame,
@@ -157,17 +187,7 @@ def column_mismatch_metrics(
         aggs.append(F.sum(F.when(both & eq, 1).otherwise(0)).alias(f"__m__{c}"))
         aggs.append(F.sum(F.when(both & ~eq, 1).otherwise(0)).alias(f"__x__{c}"))
     wide = j.agg(*aggs)
-    stack_items = ", ".join(
-        f"'{c}', `__m__{c}`, `__x__{c}`" for c in compare_cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(compare_cols)}, {stack_items}) as (column_name, matches, mismatches)"
-        ),
-        "total_overlaps",
-        "src_extras",
-        "tgt_extras",
-    ).select("column_name", "total_overlaps", "matches", "mismatches", "src_extras", "tgt_extras")
+    return _unpivot_column_metrics(wide, compare_cols)
 
 
 def annotated_comparison(
@@ -257,18 +277,7 @@ def column_metrics_from_annotated(
         aggs.append(F.sum(F.when(both & eq, 1).otherwise(0)).alias(f"__m__{c}"))
         aggs.append(F.sum(F.when(both & ~eq, 1).otherwise(0)).alias(f"__x__{c}"))
     wide = ann.agg(*aggs)
-    stack_items = ", ".join(f"'{c}', `__m__{c}`, `__x__{c}`" for c in compare_cols)
-    return wide.select(
-        F.expr(
-            f"stack({len(compare_cols)}, {stack_items}) as (column_name, matches, mismatches)"
-        ),
-        "total_overlaps",
-        "src_extras",
-        "tgt_extras",
-    ).select(
-        "column_name", "total_overlaps", "matches", "mismatches",
-        "src_extras", "tgt_extras",
-    )
+    return _unpivot_column_metrics(wide, compare_cols)
 
 
 def mismatch_rows_from_annotated(

@@ -113,6 +113,34 @@ def type_compatibility(
         F.expr("lower(src_data_type) rlike src_type_pattern"),
         "left",
     )
+    # Parameter guard (same rules as lake.schema.can_widen): the regex
+    # matrix strips type parameters, so without this a lossy NARROWING like
+    # decimal(38,10) -> decimal(5,2) or varchar(100) -> varchar(10) would
+    # pass the very gate that exists to forbid it.  Decimal: integral
+    # digits and scale may only grow.  Length types (char/varchar, incl.
+    # cross-base): length may only grow.  A missing parameter on either
+    # side defers to the base-type verdict (unparameterized = unbounded).
+    src_t = F.lower(F.col("src_data_type"))
+    tgt_t = F.lower(F.col("tgt_data_type"))
+
+    def _p(col, grp):
+        v = F.regexp_extract(col, r"\((\d+)\s*(?:,\s*(\d+))?\)", grp)
+        return F.when(v == "", F.lit(None)).otherwise(v).cast("int")
+
+    sb = F.regexp_extract(src_t, r"^([a-z]+)", 1)
+    tb = F.regexp_extract(tgt_t, r"^([a-z]+)", 1)
+    sp, ss = _p(src_t, 1), F.coalesce(_p(src_t, 2), F.lit(0))
+    tp, ts = _p(tgt_t, 1), F.coalesce(_p(tgt_t, 2), F.lit(0))
+    both_len = sb.isin("char", "varchar") & tb.isin("char", "varchar")
+    param_ok = (
+        F.when(sp.isNull() | tp.isNull(), F.lit(True))
+        .when(
+            (sb == "decimal") & (tb == "decimal"),
+            ((tp - ts) >= (sp - ss)) & (ts >= ss),
+        )
+        .when(both_len, tp >= sp)
+        .otherwise(F.lit(True))
+    )
     compat = F.when(
         F.col("datatype_compare") == "MATCH", F.lit(True)
     ).otherwise(
@@ -120,6 +148,7 @@ def type_compatibility(
             F.expr("lower(tgt_data_type) rlike compatible_tgt_pattern"),
             F.lit(False),
         )
+        & param_ok
     )
     return (
         j.withColumn("compatible", compat)

@@ -169,6 +169,18 @@ def make_pk_table(spark: SparkSession, root: str) -> LakeTable:
     )
 
 
+def _clear_slice(table: LakeTable, run_id: str, table_family: str) -> None:
+    """Replace semantics for per-(run_id, table_family) detail tables: MERGE
+    alone is upsert-only, so a RERUN of the same run_id would leave stale
+    rows for anomalies/buckets that no longer exist (fixed data would still
+    browse as mismatched).  Delete the slice first; the following merge
+    lands the fresh rows.  Quotes in values are doubled — the predicate is
+    parsed by Spark's own SQL parser."""
+    rid = run_id.replace("'", "''")
+    fam = table_family.replace("'", "''")
+    table.delete_where(f"run_id = '{rid}' AND table_family = '{fam}'")
+
+
 def persist_anomalies(
     table: LakeTable,
     run_id: str,
@@ -180,7 +192,9 @@ def persist_anomalies(
     """Persist every non-MATCH row from the annotated comparison frame in
     ONE MERGE: mismatches as two rows (src + tgt version), extras as one.
     A narrow derivation — no new src×tgt join; the caller's persisted
-    annotated frame is the only data pass."""
+    annotated frame is the only data pass.  Rerun-safe: the run's slice is
+    cleared first (see _clear_slice)."""
+    _clear_slice(table, run_id, table_family)
     key_json = F.to_json(F.struct(*[F.col(k) for k in key_cols]))
 
     def _side(suffix: str, status_val, status_name: str) -> DataFrame:
@@ -210,7 +224,9 @@ def persist_anomalies(
 def persist_windowed(
     table: LakeTable, run_id: str, table_family: str, windowed: DataFrame
 ) -> None:
-    """Persist a windowed_validation frame (lit-tagged MERGE, no collect)."""
+    """Persist a windowed_validation frame (lit-tagged MERGE, no collect).
+    Rerun-safe: the run's slice is cleared first (see _clear_slice)."""
+    _clear_slice(table, run_id, table_family)
     tagged = windowed.select(
         F.lit(run_id).alias("run_id"),
         F.lit(table_family).alias("table_family"),
@@ -312,7 +328,9 @@ def persist_column_metrics(
     table: LakeTable, run_id: str, table_family: str, metrics: DataFrame
 ) -> None:
     """Persist a ``column_mismatch_metrics`` frame — stays a Spark plan end
-    to end (lit-tagged and MERGEd; no driver collect)."""
+    to end (lit-tagged and MERGEd; no driver collect).  Rerun-safe: the
+    run's slice is cleared first (see _clear_slice)."""
+    _clear_slice(table, run_id, table_family)
     tagged = metrics.select(
         F.lit(run_id).alias("run_id"),
         F.lit(table_family).alias("table_family"),

@@ -123,6 +123,11 @@ def validation_summary(
     - column_names / ordinal / datatype / compatibility (SUM:309-506).
     """
     rc = reconcile_counts_df.collect()[0].asDict()
+    # empty inputs: aggregates over zero rows are NULL, and None == 0 is
+    # False — two identical EMPTY tables would report FAILED everywhere and
+    # persist_summary's int(None) would raise (summary_from_annotated
+    # coalesces the same way)
+    rc = {k: (0 if v is None else v) for k, v in rc.items()}
     pks = pk_src.collect()[0].asDict()
     pkt = pk_tgt.collect()[0].asDict()
     col_bad = column_metrics.filter(F.col("mismatches") != 0).count()
