@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_migration_validator_spark.operators import dedup as D
+from data_migration_validator_spark.operators import sampling as SAMP
+from data_migration_validator_spark.operators import scrub as SC
 from data_migration_validator_spark.operators import text as T
 from data_migration_validator_spark.validation import checks as C
 from data_migration_validator_spark.validation import reconcile as R
@@ -987,6 +989,145 @@ def q_table_changes(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def _injected_pii(spark, sf_dir):
+    """documents with deterministic PII appended (so the scrub has real,
+    oracle-reproducible hits): every 3rd doc gets an email, every 5th an
+    IPv4, every 7th a 32-hex secret — all pure functions of doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" key="), F.md5(F.col("doc_id").cast("string"))),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub audit: per-doc redaction counts + sha256 of the scrubbed
+    text (value-level proof the redaction ran byte-identically; the oracle
+    applies the literal same RE2-safe patterns).  Pure codegen'd
+    regexp_count/regexp_replace — narrow, no shuffle, no Python."""
+    rep = SC.scrub_report(_injected_pii(spark, sf_dir))
+    return rep.select(
+        "doc_id",
+        *[F.col(f"n_{k}").cast("bigint").alias(f"n_{k}") for k, _ in SC.DEFAULT_PATTERNS],
+        "scrub_sha",
+        F.col("scrub_len").cast("bigint").alias("scrub_len"),
+    ).orderBy("doc_id")
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Hash-threshold Bernoulli sample (~15% of orders): membership a pure
+    function of the key — rerun/partitioning-stable, a narrow codegen'd
+    filter next to the scan (no shuffle), unlike seed-based df.sample."""
+    o = _t(spark, sf_dir, "orders")
+    out = SAMP.deterministic_sample(o, ["o_orderkey"], 0.15)
+    return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language stratified sample of the corpus in ONE narrow pass:
+    en kept at 25%, zh at 50%, everything else at 10% — the lang-rebalance
+    shape every multilingual training-data pipeline needs."""
+    d = _t(spark, sf_dir, "documents")
+    out = SAMP.stratified_sample(
+        d, ["doc_id"], "lang", {"en": 0.25, "zh": 0.50}, default_fraction=0.10
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_sample_topk(spark, sf_dir):
+    """Exactly-k deterministic sample: the 100 smallest md5-of-key orders.
+    Plans as TakeOrderedAndProject (per-partition top-k + tiny driver
+    merge) — no global sort or full-data shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return SAMP.sample_exact_k(o, ["o_orderkey"], 100).orderBy("o_orderkey")
+
+
+def q_ivm_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance end-to-end: a COUNT+SUM
+    view over a lake table is refreshed from the change feed (never a fact
+    rescan) across an initial load and a mixed upsert/insert/delete CDC
+    batch; the oracle recomputes the final aggregate directly from the
+    equivalent final table expressed in SQL.  Work per refresh is
+    O(changed rows + touched groups)."""
+    import tempfile
+
+    from data_migration_validator_spark.lake.ivm import IncrementalAggView
+    from data_migration_validator_spark.lake.schema import TableSchema
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(
+            spark,
+            f"{tmp}/orders",
+            TableSchema.from_pairs(
+                [
+                    ("o_orderkey", "bigint"),
+                    ("o_orderstatus", "string"),
+                    ("o_custkey", "bigint"),
+                ]
+            ),
+            key_cols=["o_orderkey"],
+            num_buckets=8,
+        )
+        t.overwrite(o.where(F.col("o_orderkey") % 4 != 0))
+        view = IncrementalAggView.create(
+            spark, f"{tmp}/view", t, ["o_orderstatus"], ["o_custkey"]
+        )
+        view.refresh()
+        # CDC batch: status flips on %8==1, late inserts of the %4==0 keys,
+        # deletes of %16==2 — final state is a pure function of `orders`.
+        batch = (
+            o.where(F.col("o_orderkey") % 8 == 1)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("op", F.lit("upsert"))
+            .unionByName(
+                o.where(F.col("o_orderkey") % 4 == 0).withColumn(
+                    "op", F.lit("upsert")
+                )
+            )
+            .unionByName(
+                o.where(F.col("o_orderkey") % 16 == 2).withColumn(
+                    "op", F.lit("delete")
+                )
+            )
+        )
+        t.merge(batch, op_col="op", delete_value="delete")
+        view.refresh()
+        out = (
+            view.table.read()
+            .select("o_orderstatus", "n_rows", "sum_o_custkey")
+            .orderBy("o_orderstatus")
+        )
+        # rebuild from collected rows: the tmp-dir table vanishes with the
+        # with-block, and a cache()d plan is not durable.
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1041,6 +1182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_summary": q_validation_summary,
         "anomaly_rows": q_anomaly_rows,
         "table_changes": q_table_changes,
+        "pii_scrub": q_pii_scrub,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "sample_topk": q_sample_topk,
+        "ivm_refresh": q_ivm_refresh,
     }
 
 
@@ -1652,5 +1798,77 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS ({tgt})
         SELECT o_orderkey, CAST(NULL AS VARCHAR) AS status
         FROM t WHERE FALSE
+    """
+    # --- scrub: the literal same RE2-safe patterns, counts on the original
+    # text, replacements nested in DEFAULT_PATTERNS order (see scrub.py).
+    # Built by string-substitution (the regexes contain {m,n} braces).
+    from data_migration_validator_spark.operators.scrub import DEFAULT_PATTERNS
+
+    _inj = """
+        SELECT doc_id,
+               COALESCE(text, '')
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' key=' || md5(CAST(doc_id AS VARCHAR))
+                       ELSE '' END AS text
+        FROM documents
+    """
+    _counts = ", ".join(
+        "CAST(LEN(REGEXP_EXTRACT_ALL(text, '" + pat + "')) AS BIGINT) AS n_" + kind
+        for kind, pat in DEFAULT_PATTERNS
+    )
+    _scrubbed = "text"
+    for kind, pat in DEFAULT_PATTERNS:
+        _scrubbed = (
+            "REGEXP_REPLACE(" + _scrubbed + ", '" + pat + "', '<"
+            + kind.upper() + "_REDACTED>', 'g')"
+        )
+    sqls["pii_scrub"] = (
+        "WITH injected AS (" + _inj + ")\n"
+        "SELECT doc_id, " + _counts + ",\n"
+        "       SHA256(" + _scrubbed + ") AS scrub_sha,\n"
+        "       CAST(LEN(" + _scrubbed + ") AS BIGINT) AS scrub_len\n"
+        "FROM injected ORDER BY doc_id"
+    )
+    # --- deterministic sampling: identical md5-prefix thresholds on both
+    # sides (the Spark operator and this SQL share _threshold_hex).
+    from data_migration_validator_spark.operators.sampling import _threshold_hex
+
+    sqls["deterministic_sample"] = f"""
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE SUBSTRING(md5(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR))), 1, 8)
+              < '{_threshold_hex(0.15)}'
+        ORDER BY o_orderkey
+    """
+    sqls["stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE SUBSTRING(md5(CONCAT_WS('|', CAST(doc_id AS VARCHAR))), 1, 8)
+              < CASE WHEN lang = 'en' THEN '{_threshold_hex(0.25)}'
+                     WHEN lang = 'zh' THEN '{_threshold_hex(0.50)}'
+                     ELSE '{_threshold_hex(0.10)}' END
+        ORDER BY doc_id
+    """
+    sqls["sample_topk"] = """
+        SELECT o_orderkey FROM (
+            SELECT o_orderkey FROM orders
+            ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 100
+        ) ORDER BY o_orderkey
+    """
+    # --- IVM: final view state == the aggregate of the equivalent final
+    # table (initial load minus %16==2 deletes, %8==1 status flips to 'U',
+    # %4==0 late inserts — net: all orders except %16==2, status mapped).
+    sqls["ivm_refresh"] = """
+        SELECT CASE WHEN o_orderkey % 8 = 1 THEN 'U' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_o_custkey
+        FROM orders
+        WHERE o_orderkey % 16 <> 2
+        GROUP BY 1 ORDER BY 1
     """
     return sqls

@@ -1,0 +1,262 @@
+"""Incremental materialized-view maintenance from the change feed.
+
+``IncrementalAggView`` keeps a grouped additive aggregate (COUNT + SUMs)
+over a :class:`~.table.LakeTable` up to date WITHOUT rescanning the fact
+table: each ``refresh()`` reads only the snapshot-diff change feed since
+the last refreshed sequence (``LakeTable.changes`` with pre-images), folds
+it into signed partial aggregates, and MERGEs the touched groups into the
+view's own LakeTable.  Work per refresh is O(changed rows + touched
+groups) — at 10^10-event scale this is the difference between a dashboard
+aggregate that costs a full 100 TB scan per update and one that costs a
+few MB of delta.
+
+Why additive only (COUNT / SUM, AVG derived as sum/count at read time):
+MIN/MAX are not incrementally maintainable under deletes/updates without
+re-scanning the group (the classic IVM distributive-vs-holistic split);
+callers needing them should recompute per refresh or bound the window.
+
+Exactly-once: the view MERGE carries a batch id derived from the source
+table uuid and the (since, until) sequence window, so a crash between the
+merge and the state-file write replays as a no-op; the sidecar state file
+(`_ivm_state.json`) only advances after the merge committed.
+
+Correctness invariant (tested): after any refresh,
+``view.read() == source.read().groupBy(G).agg(count, sums)`` exactly.
+
+Reference parity note: no reference row — the reference validator
+recomputes its summary tables per run.  Engine-native surface
+(SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import LakeTable
+
+_STATE_FILE = "_ivm_state.json"
+
+
+class IncrementalAggView:
+    """A persisted ``GROUP BY group_cols`` COUNT+SUM view over ``source``,
+    maintained incrementally from the change feed.
+
+    ``sum_cols``: fact columns to SUM (must cast losslessly to the view's
+    declared type — pass integral/decimal columns; floating sums would
+    drift from the recompute under long delete chains).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        source: LakeTable,
+        group_cols: list[str],
+        sum_cols: list[str],
+        table: LakeTable,
+    ):
+        self.spark = spark
+        self.root = root
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.table = table
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        source: LakeTable,
+        group_cols: list[str],
+        sum_cols: list[str],
+        num_buckets: int = 4,
+    ) -> "IncrementalAggView":
+        src_schema = source.schema
+        cols: list[tuple[str, str]] = []
+        for g in group_cols:
+            fld = src_schema.field_by_name(g)
+            if fld is None:
+                raise ValueError(f"group column {g!r} not in source schema")
+            cols.append((g, fld.type))
+        cols.append(("n_rows", "bigint"))
+        for s in sum_cols:
+            fld = src_schema.field_by_name(s)
+            if fld is None:
+                raise ValueError(f"sum column {s!r} not in source schema")
+            t = fld.type
+            # widen integral sums to bigint; keep decimals as declared
+            sum_t = "bigint" if t in ("tinyint", "smallint", "int", "bigint") else t
+            cols.append((f"sum_{s}", sum_t))
+        table = LakeTable.create(
+            spark,
+            root,
+            cols,
+            key_cols=list(group_cols),
+            num_buckets=num_buckets,
+        )
+        v = IncrementalAggView(spark, root, source, group_cols, sum_cols, table)
+        v._write_state(0)
+        return v
+
+    @staticmethod
+    def load(
+        spark: SparkSession, root: str, source: LakeTable
+    ) -> "IncrementalAggView":
+        table = LakeTable.load(spark, root)
+        with open(os.path.join(root, _STATE_FILE)) as f:
+            st = json.load(f)
+        if st["source_uuid"] != source.manifest["table_uuid"]:
+            raise ValueError(
+                "view was built over a different source table "
+                f"({st['source_uuid']} != {source.manifest['table_uuid']})"
+            )
+        group_cols = table.key_cols
+        sum_cols = [
+            f.name[len("sum_"):]
+            for f in table.schema.fields
+            if f.name.startswith("sum_")
+        ]
+        return IncrementalAggView(spark, root, source, group_cols, sum_cols, table)
+
+    def _write_state(self, last_seq: int) -> None:
+        tmp = os.path.join(self.root, _STATE_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "source_uuid": self.source.manifest["table_uuid"],
+                    "last_refreshed_seq": int(last_seq),
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(self.root, _STATE_FILE))
+
+    @property
+    def last_refreshed_seq(self) -> int:
+        with open(os.path.join(self.root, _STATE_FILE)) as f:
+            return int(json.load(f)["last_refreshed_seq"])
+
+    # ------------------------------------------------------------------ #
+    # maintenance
+    # ------------------------------------------------------------------ #
+    def refresh(self) -> dict:
+        """Fold the change feed since the last refresh into the view.
+
+        Plan: one change-feed diff (the source's single full-outer join),
+        one hash aggregate down to the touched groups (map-side partial —
+        a hot group's rows collapse per task before the shuffle), one join
+        against the CURRENT view rows of those groups only, one MERGE.
+        Nothing here scales with the fact-table size except the feed's
+        snapshot diff, and callers running inside the ingest loop can pass
+        consecutive seqs so the diff stays O(batch).
+        """
+        since = self.last_refreshed_seq
+        until = int(self.source.manifest["seq"])
+        if since == until:
+            return {"skipped": True, "reason": "up to date", "seq": until}
+        # seq 0 = view creation time; the source's first real snapshot is 1
+        try:
+            feed = self.source.changes(max(since, 1), until, with_preimage=True)
+        except FileNotFoundError:
+            # the since-snapshot fell out of the source's retention window
+            # (expire_snapshots) — the delta is unrecoverable, so rebuild
+            # from the defining query: one full aggregate, one overwrite.
+            return self._rebuild(until)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        aggs = [F.sum(sign).alias("__d_n")]
+        for s in self.sum_cols:
+            fld = self.table.schema.field_by_name(f"sum_{s}")
+            aggs.append(
+                F.sum(sign.cast(fld.type) * F.col(s).cast(fld.type)).alias(
+                    f"__d_sum_{s}"
+                )
+            )
+        delta = feed.groupBy(*self.group_cols).agg(*aggs)
+
+        # current view rows — group keys are the view's bucket keys, so the
+        # join below is bucket-aligned; the view is orders of magnitude
+        # smaller than the facts (it IS the aggregate).
+        cur = self.table.read().select(
+            *self.group_cols,
+            F.col("n_rows").alias("__cur_n"),
+            *[F.col(f"sum_{s}").alias(f"__cur_sum_{s}") for s in self.sum_cols],
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [delta[g].eqNullSafe(cur[g]) for g in self.group_cols],
+        )
+        j = delta.join(cur, cond, "left").select(
+            *[delta[g] for g in self.group_cols],
+            (F.coalesce(F.col("__cur_n"), F.lit(0)) + F.col("__d_n")).alias(
+                "n_rows"
+            ),
+            *[
+                (
+                    F.coalesce(F.col(f"__cur_sum_{s}"), F.lit(0))
+                    + F.coalesce(F.col(f"__d_sum_{s}"), F.lit(0))
+                ).alias(f"sum_{s}")
+                for s in self.sum_cols
+            ],
+        )
+        changes = j.withColumn(
+            "__ivm_op",
+            F.when(F.col("n_rows") <= 0, F.lit("delete")).otherwise(F.lit("upsert")),
+        )
+        stats = self.table.merge(
+            changes,
+            op_col="__ivm_op",
+            delete_value="delete",
+            batch_id=(
+                "ivm",
+                self.source.manifest["table_uuid"],
+                int(since),
+                int(until),
+            ),
+        )
+        self._write_state(until)
+        return {
+            "since_seq": since,
+            "until_seq": until,
+            "skipped": False,
+            **{k: v for k, v in stats.items() if k != "skipped"},
+        }
+
+    def _rebuild(self, until: int) -> dict:
+        """Full rebuild from the defining query (used when the incremental
+        window expired).  Overwrite replaces every group — including ones
+        that should vanish — then the state advances."""
+        self.table.overwrite(self.recompute())
+        self._write_state(until)
+        return {"skipped": False, "rebuilt": True, "until_seq": until}
+
+    # ------------------------------------------------------------------ #
+    # read path
+    # ------------------------------------------------------------------ #
+    def read(self) -> DataFrame:
+        """Current view rows: group cols, n_rows, sum_<col>s, avg_<col>s
+        (derived — kept out of storage so the stored state stays additive)."""
+        df = self.table.read()
+        for s in self.sum_cols:
+            df = df.withColumn(
+                f"avg_{s}",
+                F.col(f"sum_{s}") / F.col("n_rows"),
+            )
+        return df
+
+    def recompute(self) -> DataFrame:
+        """The view's defining query, from scratch (the oracle refresh()
+        must match exactly)."""
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for s in self.sum_cols:
+            fld = self.table.schema.field_by_name(f"sum_{s}")
+            aggs.append(F.sum(F.col(s).cast(fld.type)).alias(f"sum_{s}"))
+        return self.source.read().groupBy(*self.group_cols).agg(*aggs)

@@ -1314,12 +1314,24 @@ class LakeTable:
             out["delta_bytes"] = dd["delta_bytes"]
         return out
 
-    def changes(self, since_seq: int, until_seq: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        since_seq: int,
+        until_seq: int | None = None,
+        with_preimage: bool = False,
+    ) -> DataFrame:
         """Change data feed: NET row-level changes between two committed
         snapshots, as the current-schema columns plus ``_change_type`` ∈
         {'insert', 'update_postimage', 'delete'} (Delta ``table_changes`` /
         Iceberg ``create_changelog_view`` analog; net semantics — a key
         inserted then deleted inside the window emits nothing).
+
+        ``with_preimage=True`` additionally emits an ``update_preimage``
+        row per update (the Delta CDF four-type shape) — the form
+        downstream INCREMENTAL consumers need: an additive aggregate
+        retracts the pre-image and applies the post-image (lake/ivm.py).
+        Cost: the same single join; updates fan out to two rows through
+        one narrow inline (no second join, no extra shuffle).
 
         Snapshot-diff plan, so it works for COW and MOR commits alike: ONE
         full-outer join of the two snapshot reads on the key columns, with a
@@ -1380,16 +1392,39 @@ class LakeTable:
         j = j.withColumn("_change_type", ctype).where(
             F.col("_change_type").isNotNull()
         )
-        is_del = F.col("_change_type") == "delete"
-        out_cols = [
+        key_out = [
             F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k) for k in keys
-        ] + [
-            F.when(is_del, F.col(f"o_pay.{c}"))
-            .otherwise(F.col(f"n_pay.{c}"))
-            .alias(c)
-            for c in payload
         ]
-        return j.select(*out_cols, F.col("_change_type"))
+        if not with_preimage or not payload:
+            # net shape: one row per changed key (a key-only table has no
+            # update rows at all, so the preimage variant degenerates here)
+            is_del = F.col("_change_type") == "delete"
+            out_cols = key_out + [
+                F.when(is_del, F.col(f"o_pay.{c}"))
+                .otherwise(F.col(f"n_pay.{c}"))
+                .alias(c)
+                for c in payload
+            ]
+            return j.select(*out_cols, F.col("_change_type"))
+
+        # four-type CDF shape: updates fan out to (pre, post) through one
+        # narrow inline over the SAME join — no extra shuffle.
+        def _row(side: str, tag: str) -> F.Column:
+            return F.struct(
+                *[F.col(f"{side}_pay.{c}").alias(c) for c in payload],
+                F.lit(tag).alias("_change_type"),
+            )
+
+        arr = (
+            F.when(F.col("_change_type") == "insert", F.array(_row("n", "insert")))
+            .when(F.col("_change_type") == "delete", F.array(_row("o", "delete")))
+            .otherwise(
+                F.array(
+                    _row("o", "update_preimage"), _row("n", "update_postimage")
+                )
+            )
+        )
+        return j.select(*key_out, F.inline(arr))
 
     def history(self) -> list[dict]:
         mdir = os.path.join(self.root, "_manifest")

@@ -8,6 +8,16 @@ from .dedup import (  # noqa: F401
     simhash_near_dup,
     simhash_signatures,
 )
+from .sampling import (  # noqa: F401
+    deterministic_sample,
+    sample_exact_k,
+    stratified_sample,
+)
+from .scrub import (  # noqa: F401
+    DEFAULT_PATTERNS,
+    scrub_report,
+    scrub_text,
+)
 from .projection import (  # noqa: F401
     cast_all_to_string,
     column_union,
