@@ -15,10 +15,15 @@ MIN/MAX are not incrementally maintainable under deletes/updates without
 re-scanning the group (the classic IVM distributive-vs-holistic split);
 callers needing them should recompute per refresh or bound the window.
 
-Exactly-once: the view MERGE carries a batch id derived from the source
-table uuid and the (since, until) sequence window, so a crash between the
-merge and the state-file write replays as a no-op; the sidecar state file
-(`_ivm_state.json`) only advances after the merge committed.
+Exactly-once: the refresh window is write-ahead logged — the sidecar
+state file (`_ivm_state.json`) records the in-flight (since, until)
+window BEFORE the merge, and the view MERGE carries a batch id derived
+from the source table uuid and that window.  A crash anywhere replays
+deterministically: before the merge → same window recomputed; after the
+merge but before the state advance → same window, merge skipped by the
+batch marker.  The source advancing between crash and retry cannot
+change the window (it is pinned by the WAL), and ``refresh()`` folds any
+remainder in follow-up windows until the view reaches the head.
 
 Correctness invariant (tested): after any refresh,
 ``view.read() == source.read().groupBy(G).agg(count, sums)`` exactly.
@@ -95,6 +100,12 @@ class IncrementalAggView:
             # widen integral sums to bigint; keep decimals as declared
             sum_t = "bigint" if t in ("tinyint", "smallint", "int", "bigint") else t
             cols.append((f"sum_{s}", sum_t))
+        names = [c for c, _ in cols]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"view column collision in {names}: group columns may not be "
+                "named 'n_rows' or shadow a sum_<col> output"
+            )
         table = LakeTable.create(
             spark,
             root,
@@ -118,36 +129,74 @@ class IncrementalAggView:
                 "view was built over a different source table "
                 f"({st['source_uuid']} != {source.manifest['table_uuid']})"
             )
-        group_cols = table.key_cols
-        sum_cols = [
-            f.name[len("sum_"):]
-            for f in table.schema.fields
-            if f.name.startswith("sum_")
-        ]
+        # the defining columns are persisted in the sidecar (a name-prefix
+        # reconstruction would misclassify a group column named 'sum_*');
+        # the prefix fallback only serves pre-upgrade state files.
+        group_cols = st.get("group_cols", table.key_cols)
+        sum_cols = st.get(
+            "sum_cols",
+            [
+                f.name[len("sum_"):]
+                for f in table.schema.fields
+                if f.name.startswith("sum_")
+            ],
+        )
         return IncrementalAggView(spark, root, source, group_cols, sum_cols, table)
 
-    def _write_state(self, last_seq: int) -> None:
+    def _write_state(self, last_seq: int, pending: dict | None = None) -> None:
+        st = {
+            "source_uuid": self.source.manifest["table_uuid"],
+            "last_refreshed_seq": int(last_seq),
+            "group_cols": self.group_cols,
+            "sum_cols": self.sum_cols,
+        }
+        if pending is not None:
+            st["pending"] = {
+                "since": int(pending["since"]),
+                "until": int(pending["until"]),
+            }
         tmp = os.path.join(self.root, _STATE_FILE + ".tmp")
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "source_uuid": self.source.manifest["table_uuid"],
-                    "last_refreshed_seq": int(last_seq),
-                },
-                f,
-            )
+            json.dump(st, f)
         os.replace(tmp, os.path.join(self.root, _STATE_FILE))
+
+    def _read_state(self) -> dict:
+        with open(os.path.join(self.root, _STATE_FILE)) as f:
+            return json.load(f)
 
     @property
     def last_refreshed_seq(self) -> int:
-        with open(os.path.join(self.root, _STATE_FILE)) as f:
-            return int(json.load(f)["last_refreshed_seq"])
+        return int(self._read_state()["last_refreshed_seq"])
 
     # ------------------------------------------------------------------ #
     # maintenance
     # ------------------------------------------------------------------ #
     def refresh(self) -> dict:
-        """Fold the change feed since the last refresh into the view.
+        """Fold the change feed since the last refresh into the view,
+        window by window, until the view reaches the source head.
+
+        A crash-recovered refresh first completes the write-ahead-logged
+        pending window (pinned before its merge, so the batch id is stable
+        across retries even if the source advanced in between), then folds
+        the remainder; a fresh refresh is a single head window.
+        """
+        out = self._refresh_window()
+        if out.get("skipped") or out.get("rebuilt"):
+            return out
+        windows = 1
+        while self.last_refreshed_seq < int(self.source.manifest["seq"]):
+            nxt = self._refresh_window()
+            if nxt.get("skipped"):
+                break
+            windows += 1
+            if nxt.get("rebuilt"):
+                return {**nxt, "windows": windows}
+            out = nxt
+        out["windows"] = windows
+        return out
+
+    def _refresh_window(self) -> dict:
+        """One maintenance window: O(changed rows + touched groups).
 
         Plan: one change-feed diff (the source's single full-outer join),
         one hash aggregate down to the touched groups (map-side partial —
@@ -157,10 +206,21 @@ class IncrementalAggView:
         snapshot diff, and callers running inside the ingest loop can pass
         consecutive seqs so the diff stays O(batch).
         """
-        since = self.last_refreshed_seq
-        until = int(self.source.manifest["seq"])
-        if since == until:
-            return {"skipped": True, "reason": "up to date", "seq": until}
+        st = self._read_state()
+        since = int(st["last_refreshed_seq"])
+        pending = st.get("pending")
+        if pending is not None and int(pending["since"]) == since:
+            # crash recovery: replay the exact logged window (its merge
+            # batch marker makes an already-applied merge a no-op).
+            until = int(pending["until"])
+        else:
+            until = int(self.source.manifest["seq"])
+            if since == until:
+                return {"skipped": True, "reason": "up to date", "seq": until}
+            # write-ahead log the window BEFORE any work: the retry after a
+            # crash between the merge and the state advance must see the
+            # identical (since, until) or it would double-apply the delta.
+            self._write_state(since, pending={"since": since, "until": until})
         # seq 0 = view creation time; the source's first real snapshot is 1
         try:
             feed = self.source.changes(max(since, 1), until, with_preimage=True)
@@ -168,7 +228,8 @@ class IncrementalAggView:
             # the since-snapshot fell out of the source's retention window
             # (expire_snapshots) — the delta is unrecoverable, so rebuild
             # from the defining query: one full aggregate, one overwrite.
-            return self._rebuild(until)
+            # The rebuild reads the source HEAD, so state advances to it.
+            return self._rebuild(int(self.source.manifest["seq"]))
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
@@ -180,48 +241,69 @@ class IncrementalAggView:
                     f"__d_sum_{s}"
                 )
             )
-        delta = feed.groupBy(*self.group_cols).agg(*aggs)
+        # persist: the delta (tiny — touched groups) anchors both the null
+        # check and the merge, so the feed's join runs exactly once.
+        delta = feed.groupBy(*self.group_cols).agg(*aggs).persist()
+        try:
+            null_groups = reduce(
+                lambda a, b: a | b,
+                [F.col(g).isNull() for g in self.group_cols],
+            )
+            if delta.where(null_groups).limit(1).count():
+                raise ValueError(
+                    "NULL in group column(s) "
+                    f"{self.group_cols}: the view MERGE matches keys "
+                    "null-unequal, so NULL groups cannot be maintained — "
+                    "coalesce NULLs to a sentinel upstream"
+                )
 
-        # current view rows — group keys are the view's bucket keys, so the
-        # join below is bucket-aligned; the view is orders of magnitude
-        # smaller than the facts (it IS the aggregate).
-        cur = self.table.read().select(
-            *self.group_cols,
-            F.col("n_rows").alias("__cur_n"),
-            *[F.col(f"sum_{s}").alias(f"__cur_sum_{s}") for s in self.sum_cols],
-        )
-        cond = reduce(
-            lambda a, b: a & b,
-            [delta[g].eqNullSafe(cur[g]) for g in self.group_cols],
-        )
-        j = delta.join(cur, cond, "left").select(
-            *[delta[g] for g in self.group_cols],
-            (F.coalesce(F.col("__cur_n"), F.lit(0)) + F.col("__d_n")).alias(
-                "n_rows"
-            ),
-            *[
-                (
-                    F.coalesce(F.col(f"__cur_sum_{s}"), F.lit(0))
-                    + F.coalesce(F.col(f"__d_sum_{s}"), F.lit(0))
-                ).alias(f"sum_{s}")
-                for s in self.sum_cols
-            ],
-        )
-        changes = j.withColumn(
-            "__ivm_op",
-            F.when(F.col("n_rows") <= 0, F.lit("delete")).otherwise(F.lit("upsert")),
-        )
-        stats = self.table.merge(
-            changes,
-            op_col="__ivm_op",
-            delete_value="delete",
-            batch_id=(
-                "ivm",
-                self.source.manifest["table_uuid"],
-                int(since),
-                int(until),
-            ),
-        )
+            # current view rows — group keys are the view's bucket keys, so
+            # the join below is bucket-aligned; the view is orders of
+            # magnitude smaller than the facts (it IS the aggregate).
+            cur = self.table.read().select(
+                *self.group_cols,
+                F.col("n_rows").alias("__cur_n"),
+                *[
+                    F.col(f"sum_{s}").alias(f"__cur_sum_{s}")
+                    for s in self.sum_cols
+                ],
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [delta[g].eqNullSafe(cur[g]) for g in self.group_cols],
+            )
+            j = delta.join(cur, cond, "left").select(
+                *[delta[g] for g in self.group_cols],
+                (F.coalesce(F.col("__cur_n"), F.lit(0)) + F.col("__d_n")).alias(
+                    "n_rows"
+                ),
+                *[
+                    (
+                        F.coalesce(F.col(f"__cur_sum_{s}"), F.lit(0))
+                        + F.coalesce(F.col(f"__d_sum_{s}"), F.lit(0))
+                    ).alias(f"sum_{s}")
+                    for s in self.sum_cols
+                ],
+            )
+            changes = j.withColumn(
+                "__ivm_op",
+                F.when(F.col("n_rows") <= 0, F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            )
+            stats = self.table.merge(
+                changes,
+                op_col="__ivm_op",
+                delete_value="delete",
+                batch_id=(
+                    "ivm",
+                    self.source.manifest["table_uuid"],
+                    int(since),
+                    int(until),
+                ),
+            )
+        finally:
+            delta.unpersist()
         self._write_state(until)
         return {
             "since_seq": since,

@@ -32,19 +32,29 @@ _HEX_SPACE = 16**8
 
 
 def _threshold_hex(fraction: float) -> str:
-    """fraction ∈ [0,1] → 8-hex-char upper bound (row in-sample iff
-    md5-prefix < threshold, string compare — lowercase hex orders
-    lexicographically = numerically)."""
+    """fraction ∈ [0,1] → 8-char upper bound (row in-sample iff md5-prefix
+    < threshold, string compare — lowercase hex orders lexicographically =
+    numerically).  fraction == 1.0 returns a sentinel above every hex
+    string ('g' > 'f'), so a full sample keeps ALL rows — clamping to
+    'ffffffff' with strict '<' would drop rows whose prefix is exactly
+    that (≈ a handful at 10^10-row scale)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g0000000"
     return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
 
 
+def _key_expr(key_cols: list[str]) -> F.Column:
+    """'|'-joined stringified key (concat_ws skips NULLs — same as the
+    oracle SQL's concat_ws); the single source of truth for the key hash
+    shared by every sampler here and their DuckDB oracles."""
+    return F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+
+
 def _hash_prefix(key_cols: list[str]) -> F.Column:
-    """First 8 hex chars of md5 over the '|'-joined stringified key.
-    concat_ws skips NULLs (same as the oracle SQL's concat_ws)."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    return F.substring(F.md5(key), 1, 8)
+    """First 8 hex chars of md5 over the joined key."""
+    return F.substring(F.md5(_key_expr(key_cols)), 1, 8)
 
 
 def deterministic_sample(
@@ -83,10 +93,12 @@ def sample_exact_k(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
     (ORDER BY md5 LIMIT k)."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = "__sample_h"
+    while h in df.columns:  # never clobber (then drop) a user column
+        h += "_"
     return (
-        df.withColumn("__h", F.md5(key))
-        .orderBy("__h")
+        df.withColumn(h, F.md5(_key_expr(key_cols)))
+        .orderBy(h)
         .limit(k)
-        .drop("__h")
+        .drop(h)
     )

@@ -169,6 +169,103 @@ def test_ivm_rejects_foreign_source(spark, tmp_root):
         IncrementalAggView.load(spark, f"{tmp_root}/v", t2)
 
 
+def test_ivm_crash_between_merge_and_state_advance(spark, tmp_root):
+    """Exactly-once across the crash window: the merge lands, the state
+    write 'crashes', the SOURCE ADVANCES, and the retry must not
+    double-apply the already-merged delta (the WAL pins the window)."""
+    t = _source(spark, f"{tmp_root}/src", [(1, "a", 10), (2, "b", 20)])
+    view = IncrementalAggView.create(
+        spark, f"{tmp_root}/view", t, ["event_type"], ["cents"]
+    )
+    view.refresh()
+    _apply(spark, t, ups=[(3, "a", 5)])
+
+    orig = view._write_state
+
+    def crash_on_advance(last_seq, pending=None):
+        if pending is None:
+            raise RuntimeError("simulated crash before state advance")
+        return orig(last_seq, pending=pending)
+
+    view._write_state = crash_on_advance
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        view.refresh()
+    view._write_state = orig
+
+    # the source moves on before the retry
+    _apply(spark, t, ups=[(4, "b", 7)], dels=[1])
+
+    recovered = IncrementalAggView.load(spark, f"{tmp_root}/view", t)
+    st = recovered.refresh()
+    assert st["skipped"] is False and st.get("windows", 1) >= 2
+    _assert_view_matches(recovered)
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_cents"])
+        for r in recovered.read().collect()
+    }
+    assert got == {"a": (1, 5), "b": (2, 27)}
+    # and the view is at the head: another refresh is a no-op
+    assert recovered.refresh()["skipped"] is True
+
+
+def test_ivm_null_group_rejected(spark, tmp_root):
+    t = _source(spark, f"{tmp_root}/src", [(1, "a", 10)])
+    view = IncrementalAggView.create(
+        spark, f"{tmp_root}/view", t, ["event_type"], ["cents"]
+    )
+    view.refresh()
+    df = spark.createDataFrame(
+        [(2, None, 5, "upsert")],
+        "event_id long, event_type string, cents long, op string",
+    )
+    t.merge(df, op_col="op", delete_value="delete")
+    with pytest.raises(ValueError, match="NULL in group column"):
+        view.refresh()
+
+
+def test_ivm_persisted_defining_columns_round_trip(spark, tmp_root):
+    """A group column named 'sum_*' must survive load() — the defining
+    columns are persisted, not reconstructed from name prefixes."""
+    t = LakeTable.create(
+        spark,
+        f"{tmp_root}/src",
+        [("k", "bigint"), ("sum_region", "string"), ("cents", "bigint")],
+        key_cols=["k"],
+        num_buckets=4,
+    )
+    df = spark.createDataFrame(
+        [(1, "emea", 10, "upsert"), (2, "emea", 20, "upsert"), (3, "apac", 5, "upsert")],
+        "k long, sum_region string, cents long, op string",
+    )
+    t.merge(df, op_col="op", delete_value="delete")
+    view = IncrementalAggView.create(
+        spark, f"{tmp_root}/view", t, ["sum_region"], ["cents"]
+    )
+    view.refresh()
+    again = IncrementalAggView.load(spark, f"{tmp_root}/view", t)
+    assert again.group_cols == ["sum_region"]
+    assert again.sum_cols == ["cents"]
+    got = {
+        r["sum_region"]: (r["n_rows"], r["sum_cents"])
+        for r in again.read().collect()
+    }
+    assert got == {"emea": (2, 30), "apac": (1, 5)}
+
+
+def test_ivm_view_column_collision_rejected(spark, tmp_root):
+    t = LakeTable.create(
+        spark,
+        f"{tmp_root}/src",
+        [("n_rows", "bigint"), ("cents", "bigint")],
+        key_cols=["n_rows"],
+        num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="collision"):
+        IncrementalAggView.create(
+            spark, f"{tmp_root}/v", t, ["n_rows"], ["cents"]
+        )
+
+
 def test_ivm_bad_columns(spark, tmp_root):
     t = _source(spark, f"{tmp_root}/src", [(1, "a", 10)])
     with pytest.raises(ValueError):

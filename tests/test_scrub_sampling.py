@@ -142,3 +142,26 @@ def test_sample_fraction_bounds(spark):
         deterministic_sample(df, ["doc_id"], 1.5)
     with _pt.raises(ValueError):
         sample_exact_k(df, ["doc_id"], -1)
+
+
+def test_full_sample_keeps_ffffffff_prefix_rows(spark):
+    # a key whose md5 prefix is exactly 'ffffffff' must survive fraction=1.0
+    # (strict '<' against a clamped 'ffffffff' threshold used to drop it)
+    from data_migration_validator_spark.operators.sampling import _threshold_hex
+
+    assert _threshold_hex(1.0) > "ffffffff"
+    df = spark.createDataFrame([("ffffffff-prefix-stand-in",)], "k string")
+    assert deterministic_sample(df, ["k"], 1.0).count() == 1
+    out = stratified_sample(
+        _docs(spark, 100), ["doc_id"], "lang", {"en": 1.0}, default_fraction=1.0
+    )
+    assert out.count() == 100
+
+
+def test_sample_exact_k_preserves_user_hash_column(spark):
+    # a pre-existing column that collides with the sampler's work column
+    # must come through untouched
+    df = _docs(spark, 100).withColumn("__sample_h", F.lit("keep-me"))
+    out = sample_exact_k(df, ["doc_id"], 5)
+    assert "__sample_h" in out.columns
+    assert {r["__sample_h"] for r in out.collect()} == {"keep-me"}
