@@ -989,6 +989,19 @@ def q_table_changes(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def q_global_row_number(spark, sf_dir):
+    """Global ordinal enumeration WITHOUT a single-partition window: the
+    reference's `row_number() over (order by a)` shape (W1) re-expressed
+    as deterministic range slices + per-slice windows + broadcast offsets
+    (operators/order.py) — the only form that survives 100 TB."""
+    from data_migration_validator_spark.operators.order import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return global_row_number(o, ["o_orderkey"], num_slices=32).orderBy(
+        "o_orderkey"
+    )
+
+
 def _injected_pii(spark, sf_dir):
     """documents with deterministic PII appended (so the scrub has real,
     oracle-reproducible hits): every 3rd doc gets an email, every 5th an
@@ -1187,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sample_topk": q_sample_topk,
         "ivm_refresh": q_ivm_refresh,
+        "global_row_number": q_global_row_number,
     }
 
 
@@ -1862,6 +1876,13 @@ def oracle_sql() -> dict[str, str]:
     # --- IVM: final view state == the aggregate of the equivalent final
     # table (initial load minus %16==2 deletes, %8==1 status flips to 'U',
     # %4==0 late inserts — net: all orders except %16==2, status mapped).
+    # --- global enumeration: the two-phase scale form must agree with the
+    # naive single-window definition exactly (key is unique → total order).
+    sqls["global_row_number"] = """
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_num
+        FROM orders ORDER BY o_orderkey
+    """
     sqls["ivm_refresh"] = """
         SELECT CASE WHEN o_orderkey % 8 = 1 THEN 'U' ELSE o_orderstatus END
                    AS o_orderstatus,

@@ -8,6 +8,7 @@ from .dedup import (  # noqa: F401
     simhash_near_dup,
     simhash_signatures,
 )
+from .order import global_row_number  # noqa: F401
 from .sampling import (  # noqa: F401
     deterministic_sample,
     sample_exact_k,

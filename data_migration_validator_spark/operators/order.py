@@ -1,0 +1,140 @@
+"""Global ordinal enumeration at scale — the two-phase row_number.
+
+The reference assigns global ordinals with ``row_number() over (order by
+a)`` (migration-data-validation DBX:86-117 — fine there because it only
+enumerates SCHEMA rows, tens of entries).  At data scale that plan is a
+catastrophe: an empty ``OVER (ORDER BY …)`` window forces every row
+through ONE partition on one executor.
+
+``global_row_number`` is the scale-correct form:
+
+1. **Deterministic range boundaries.** A hash-deterministic sample of the
+   order keys (xxhash64 threshold — NOT ``repartitionByRange``, whose
+   reservoir sampling is seeded nondeterministically and re-draws
+   different boundaries on every job, which would desynchronize the
+   offset pass from the numbering pass) is collected, sorted, and cut
+   into ``num_slices`` quantile boundaries.  O(num_slices × sample) bytes
+   to the driver, never O(rows).
+2. **Slice id as a pure row function.** Each row's slice = the number of
+   boundaries ≤ its key (an array-filter expression over broadcast
+   boundary literals, codegen'd, narrow).  Pure function of the row ⇒
+   every job that evaluates it agrees, run to run.
+3. **Offsets.** A metadata-sized job counts rows per slice and the driver
+   prefix-sums the counts into slice offsets.
+4. **Per-slice numbering.** ``row_number()`` windowed per slice plus the
+   broadcast slice offset — the window's hash exchange on the slice id is
+   the ONLY shuffle of the data; work is spread across all executors
+   with no single-partition stage anywhere.
+
+The result is deterministic whenever the order key is total (e.g. a
+unique key): boundaries may place a key in a different slice at a
+different ``num_slices``, but offsets adapt so each row's global ordinal
+is invariant.  NULL keys sort first (slice 0), matching the window's
+default null ordering.  A single dominant key skews its slice — the same
+property range partitioning has; pick a more selective key if that
+bites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_MOD = 1_000_000
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_num",
+    num_slices: int | None = None,
+    sample_per_slice: int = 200,
+) -> DataFrame:
+    """Add ``out_col`` = the 1-based global ordinal of each row under
+    ``ORDER BY order_cols`` — without ever funneling the data through a
+    single partition (see module docstring for the plan shape).
+
+    ``order_cols`` should form a total order (ties get arbitrary but
+    consistent-within-run ordinals).  ``num_slices`` defaults to the
+    session's shuffle parallelism.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    sid = "__grn_sid"
+    while sid in df.columns:
+        sid += "_"
+    spark = df.sparkSession
+    if num_slices is None:
+        num_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    n = df.count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+
+    # 1. deterministic sample of order keys -> sorted boundary cut points
+    target = max(num_slices * sample_per_slice, 1)
+    frac = min(1.0, target / n)
+    sample = df.select(*order_cols)
+    if frac < 1.0:
+        h = F.pmod(
+            F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(_HASH_MOD)
+        )
+        sample = sample.where(h < int(frac * _HASH_MOD))
+    keys = sorted(
+        {
+            tuple(r[c] for c in order_cols)
+            for r in sample.collect()
+            if all(r[c] is not None for c in order_cols)
+        }
+    )
+    bounds: list[tuple] = []
+    for i in range(1, num_slices):
+        if not keys:
+            break
+        b = keys[i * len(keys) // num_slices]
+        if not bounds or bounds[-1] != b:
+            bounds.append(b)
+
+    # 2. slice id = #boundaries <= key (pure, narrow, codegen'd); NULL keys
+    # compare to null -> filtered out -> slice 0, matching nulls-first.
+    if len(order_cols) == 1:
+        key = F.col(order_cols[0])
+        blits = [F.lit(b[0]) for b in bounds]
+    else:
+        key = F.struct(*[F.col(c).alias(c) for c in order_cols])
+        blits = [
+            F.struct(*[F.lit(v).alias(c) for c, v in zip(order_cols, b)])
+            for b in bounds
+        ]
+    if bounds:
+        sid_expr = F.size(F.filter(F.array(*blits), lambda b: b <= key))
+    else:
+        sid_expr = F.lit(0)
+    sliced = df.withColumn(sid, sid_expr.cast("int"))
+
+    # 3. O(#slices) rows to the driver — never O(data)
+    counts = sorted(
+        (r[sid], r["n"])
+        for r in sliced.groupBy(sid).agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for p, cnt in counts:
+        offsets.append((p, acc))
+        acc += cnt
+
+    # 4. per-slice numbering + offset looked up from a literal map (tiny —
+    # one entry per slice; cheaper than any join and sidesteps a Spark
+    # 4.1.2 binding bug in broadcast-join-under-window plans): ONE data
+    # shuffle total (the window's hash exchange on the slice id)
+    off_map = F.create_map(
+        *[F.lit(x) for p, o in offsets for x in (p, o)]
+    )
+    w = Window.partitionBy(sid).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        sliced.withColumn(
+            out_col,
+            F.row_number().over(w).cast("bigint")
+            + off_map[F.col(sid)].cast("bigint"),
+        )
+        .drop(sid)
+    )
