@@ -200,6 +200,81 @@ def bench_cdc_stream(
         }
 
 
+def bench_ivm(
+    spark, n_events: int, repeats: int = 2, max_load: float = 8.0
+) -> dict:
+    """Incremental view maintenance vs full recompute at steady state: the
+    table is fully replayed, a COUNT-per-lang view is built, then ONE small
+    single-repo CDC batch lands (the steady-state shape — one bucket
+    touched) and the same aggregate is brought up to date two ways:
+
+    - ``refresh_sec``: fold the bucket-pruned change feed into the stored
+      view (O(touched buckets + delta) — lake/ivm.py over
+      LakeTable.changes, ending in a durable MERGE);
+    - ``recompute_sec``: the full-refresh alternative at equal durability —
+      rescan-aggregate the whole table and write the result out.
+
+    At this fixture size both legs are dominated by fixed per-job
+    scheduling cost, so the wall-clock ratio does NOT show the asymptotic
+    gap; the scale-independent evidence is ``feed_files`` vs
+    ``table_files``: the refresh's snapshot diff touches only the buckets
+    the delta rewrote, while a recompute reads every base file — at
+    10^10 rows that ratio IS the speedup.
+
+    ``verified``: the refreshed view equals the recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validator_spark.cdc.replay import replay
+    from data_migration_validator_spark.lake.ivm import IncrementalAggView
+
+    refresh_w, recompute_w, verified, delta_rows = [], [], True, 0
+    feed_files = table_files = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        _events_fixture(spark, tmp, n_events, 4)
+        for i in range(max(1, repeats)):
+            _wait_for_quiet(max_load)
+            table = _new_table(spark, f"{tmp}/t_{i}")
+            replay(table, f"{tmp}/events")
+            view = IncrementalAggView.create(
+                spark, f"{tmp}/v_{i}", table, ["lang"], []
+            )
+            view.refresh()
+            repo = table.read().select("repo").first()["repo"]
+            delta = (
+                table.read()
+                .where(F.col("repo") == repo)
+                .withColumn("commit", F.lit(f"bench-{i}"))
+                .withColumn("op", F.lit("upsert"))
+            )
+            since = int(table.manifest["seq"])
+            delta_rows = table.merge(delta, batch_id=("ivm-bench", i))[
+                "rows_upserted"
+            ]
+            t0 = time.monotonic()
+            st = view.refresh()
+            refresh_w.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            view.recompute().write.mode("overwrite").parquet(f"{tmp}/rc_{i}")
+            recompute_w.append(time.monotonic() - t0)
+            want = {tuple(r) for r in spark.read.parquet(f"{tmp}/rc_{i}").collect()}
+            got = {tuple(r) for r in view.table.read().collect()}
+            verified = verified and got == want and not st.get("skipped")
+            feed_files = len(table.changes(since).inputFiles())
+            table_files = len(table.manifest["files"])
+    f, r = min(refresh_w), min(recompute_w)
+    return {
+        "events": n_events,
+        "delta_rows": int(delta_rows),
+        "refresh_sec": round(f, 3),
+        "recompute_sec": round(r, 3),
+        "speedup": round(r / f, 2) if f > 0 else None,
+        "all_refresh_sec": [round(w, 3) for w in refresh_w],
+        "feed_files": feed_files,
+        "table_files": table_files,
+        "verified": verified,
+    }
+
+
 def bench_cdc_demux(
     spark, n_events: int, n_batches: int = 4, repeats: int = 2, max_load: float = 8.0
 ) -> dict:
@@ -303,6 +378,9 @@ def main():
     cdc_demux = bench_cdc_demux(spark, n_events=n_ev, n_batches=4,
                                 repeats=repeats, max_load=max_load)
     per_query["cdc_demux"] = cdc_demux["demux_sec"]
+    ivm = bench_ivm(spark, n_events=n_ev, repeats=repeats, max_load=max_load)
+    per_query["ivm_refresh"] = ivm["refresh_sec"]
+    per_query["ivm_recompute"] = ivm["recompute_sec"]
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -320,6 +398,7 @@ def main():
                 "cdc_mor": cdc_mor,
                 "cdc_stream": cdc_stream,
                 "cdc_demux": cdc_demux,
+                "ivm": ivm,
             }
         )
     )

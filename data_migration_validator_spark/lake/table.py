@@ -1336,11 +1336,22 @@ class LakeTable:
         Snapshot-diff plan, so it works for COW and MOR commits alike: ONE
         full-outer join of the two snapshot reads on the key columns, with a
         null-safe struct comparison over the payload columns deciding
-        update-vs-unchanged.  Both snapshots share the bucket layout, and
-        the join shuffles each side once — no driver-side row handling.  An
-        old snapshot written under an earlier schema id is projected to the
-        current schema by field id first (rename-safe, null-fill, widen), so
-        the feed is stable across schema evolution.
+        update-vs-unchanged.  An old snapshot written under an earlier
+        schema id is projected to the current schema by field id first
+        (rename-safe, null-fill, widen), so the feed is stable across
+        schema evolution.
+
+        **Bucket-pruned**: a key's bucket is fixed by the partition spec,
+        so any row that changed lives in a bucket whose manifest file list
+        (base files + delta files) differs between the two snapshots — the
+        diff reads ONLY those buckets from each side.  At steady state the
+        feed costs O(touched buckets), not O(table): this is what keeps an
+        incremental consumer (lake/ivm.py) cheap when one CDC batch lands
+        on a 10^10-row table.  If the partition spec changed inside the
+        window (:meth:`rebucket`) bucket ids are not comparable and the
+        diff falls back to the full join.  A bucket rewritten with
+        identical rows (compaction) is scanned but yields no change rows —
+        pruning is conservative, never lossy.
 
         ``until_seq`` defaults to this handle's snapshot.  Both seqs must be
         within the retention window (:meth:`expire_snapshots`)."""
@@ -1357,11 +1368,31 @@ class LakeTable:
         keys = self.key_cols
         payload = [f.name for f in cur.fields if f.name not in keys]
 
-        old_df = old_t.read()
+        prune: list[int] | None = None
+        if old_t.manifest.get("partition") == new_t.manifest.get("partition"):
+
+            def _sig(m: dict) -> dict[int, frozenset]:
+                by_bucket: dict[int, set] = {}
+                for f in m["files"]:
+                    by_bucket.setdefault(int(f["bucket"]), set()).add(
+                        ("b", f["path"])
+                    )
+                for e in m.get("deltas", []):
+                    by_bucket.setdefault(int(e["bucket"]), set()).add(
+                        ("d", e["path"])
+                    )
+                return {b: frozenset(s) for b, s in by_bucket.items()}
+
+            so, sn = _sig(old_t.manifest), _sig(new_t.manifest)
+            prune = sorted(
+                b for b in set(so) | set(sn) if so.get(b) != sn.get(b)
+            )
+
+        old_df = old_t.read(buckets=prune)
         old_df = old_df.select(
             *self._projection_to(cur, str(old_t.manifest["schema_id"]), old_df.columns)
         )
-        new_df = new_t.read()
+        new_df = new_t.read(buckets=prune)
 
         def _side(df: DataFrame, tag: str) -> DataFrame:
             pay = (

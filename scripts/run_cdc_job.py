@@ -70,6 +70,14 @@ def main() -> None:
                     help="stream mode: persist per-trigger progress "
                          "(rows/s, trigger wall) captured by a "
                          "StreamingQueryListener to this lake table")
+    ap.add_argument("--view-root", default=None,
+                    help="maintain an incremental COUNT+SUM materialized "
+                         "view at this root, refreshed from the change feed "
+                         "after the ingest pass (O(delta), never a rescan)")
+    ap.add_argument("--view-group", default=None,
+                    help="comma-separated group columns for --view-root")
+    ap.add_argument("--view-sums", default=None,
+                    help="comma-separated columns to SUM for --view-root")
     ap.add_argument("--demux-tables", default=None,
                     help="comma-separated table names: treat the stream as "
                          "a MIXED multi-table feed (routing column "
@@ -94,9 +102,12 @@ def main() -> None:
             ap.error(f"{', '.join(bad)} only apply to --mode stream")
     if args.mode == "stream" and args.count_deletes:
         ap.error("--count-deletes only applies to --mode batch")
+    if args.view_root and not args.view_group:
+        ap.error("--view-root requires --view-group")
     if args.demux_tables:
         demux_unsupported = {
             **stream_only, "--count-deletes": args.count_deletes,
+            "--view-root": args.view_root is not None,
         }
         bad = [k for k, v in demux_unsupported.items() if v]
         if bad:
@@ -167,6 +178,20 @@ def main() -> None:
         stats["mode"] = "batch"
     if quarantine is not None:
         stats["rows_quarantined"] = quarantine.row_count()
+    if args.view_root:
+        import os
+
+        from data_migration_validator_spark.lake.ivm import IncrementalAggView
+
+        group = [c.strip() for c in args.view_group.split(",") if c.strip()]
+        sums = [c.strip() for c in (args.view_sums or "").split(",") if c.strip()]
+        if os.path.exists(os.path.join(args.view_root, "_ivm_state.json")):
+            view = IncrementalAggView.load(spark, args.view_root, table)
+        else:
+            view = IncrementalAggView.create(
+                spark, args.view_root, table, group, sums
+            )
+        stats["view"] = view.refresh()
     print(json.dumps(stats))
 
 

@@ -61,6 +61,46 @@ def test_cdc_job_batch_then_rerun_noop(spark, tmp_root):
     assert out2[-1]["rows_quarantined"] == 21
 
 
+def test_cdc_job_with_incremental_view(spark, tmp_root):
+    from pyspark.sql import functions as F
+
+    from data_migration_validator_spark.cdc import change_events, write_events_batched
+    from data_migration_validator_spark.lake import LakeTable
+
+    events_dir = os.path.join(tmp_root, "events")
+    table_root = os.path.join(tmp_root, "table")
+    view_root = os.path.join(tmp_root, "view")
+    ev = change_events(spark, 2_000, n_repos=20, seed=11, batch_size=1_000)
+    write_events_batched(ev, events_dir)
+
+    out = _run(
+        "run_cdc_job.py",
+        "--events-dir", events_dir, "--table-root", table_root,
+        "--view-root", view_root, "--view-group", "lang",
+        "--num-buckets", "4",
+    )
+    assert out[-1]["view"]["skipped"] is False
+
+    # the maintained view equals the direct aggregate of the final table
+    table = LakeTable.load(spark, table_root)
+    view = LakeTable.load(spark, view_root)
+    got = {r["lang"]: r["n_rows"] for r in view.read().collect()}
+    want = {
+        r["lang"]: r["n"]
+        for r in table.read().groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and got
+
+    # rerun: replay no-ops AND the view refresh is a clean skip
+    out2 = _run(
+        "run_cdc_job.py",
+        "--events-dir", events_dir, "--table-root", table_root,
+        "--view-root", view_root, "--view-group", "lang",
+    )
+    assert out2[-1]["batches_applied"] == 0
+    assert out2[-1]["view"]["skipped"] is True
+
+
 def test_validation_job_end_to_end(spark, tmp_root):
     data_dir = os.path.join(tmp_root, "data")
     os.makedirs(data_dir)

@@ -201,3 +201,46 @@ def test_stream_compact_ratio_folds_deltas(spark, tmp_root):
     assert t.manifest.get("deltas", []) == []
     rec = hash_reconcile(expected_final_state(ev), t.read(), ["repo", "path"])
     assert all(r["status"] == "MATCH" for r in rec.collect())
+
+
+def test_changes_prunes_to_touched_buckets(spark, tmp_root):
+    """The feed must scan only buckets whose manifest file lists differ
+    between the snapshots — at steady state one small CDC batch means an
+    O(touched buckets) diff, not an O(table) one."""
+    t = _mk(spark, tmp_root, num_buckets=8)
+    t.merge(_changes(spark, BASE), batch_id=0)
+    since = t.manifest["seq"]
+    total_files = len(t.manifest["files"])
+    # touch exactly one key -> one bucket rewritten
+    t.merge(
+        _changes(spark, [("r1", "a.py", "c9", "py", "a9", "update")]),
+        batch_id=1,
+    )
+    feed = t.changes(since)
+    assert _rows(feed.select("repo", "path", "_change_type")) == [
+        ("r1", "a.py", "update_postimage")
+    ]
+    scanned = set(feed.inputFiles())
+    # both snapshots contribute only the touched bucket's file(s): strictly
+    # fewer than one full side, let alone two
+    assert 0 < len(scanned) < total_files
+    # identical snapshots -> empty prune set -> zero files scanned
+    empty = t.changes(t.manifest["seq"], t.manifest["seq"])
+    assert empty.count() == 0 and len(empty.inputFiles()) == 0
+
+
+def test_changes_full_fallback_across_rebucket(spark, tmp_root):
+    """A partition-spec change inside the window makes bucket ids
+    incomparable — the diff must fall back to the full join and stay
+    correct."""
+    t = _mk(spark, tmp_root, num_buckets=4)
+    t.merge(_changes(spark, BASE), batch_id=0)
+    since = t.manifest["seq"]
+    t.rebucket(8)
+    t.merge(_changes(spark, NEXT), batch_id=1)
+    got = _rows(t.changes(since).select("repo", "path", "_change_type"))
+    assert got == [
+        ("r1", "a.py", "update_postimage"),
+        ("r3", "z.py", "delete"),
+        ("r4", "n.py", "insert"),
+    ]
