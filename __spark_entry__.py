@@ -1141,6 +1141,71 @@ def q_ivm_refresh(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def q_stats_pruned_scan(spark, sf_dir):
+    """Predicate file skipping on the lake read path (lake/stats.py;
+    Iceberg/Delta data-skipping analog — extends the reference, whose scans
+    prune on partitions only): orders are committed in four ORDER-DATE range
+    chunks (the natural time-ordered ingest layout) with
+    ``write.sort.cols = o_orderdate``, so each file's footer min/max covers
+    one slice of the timeline.  ``scan(pred)`` then reads only the files
+    whose [min, max] overlaps the date range — the manifest interval test
+    happens before Spark ever lists the parquet — and applies the predicate
+    as the residual filter.  The oracle computes the same month rollup
+    straight from the source table, so a pruning bug that loses rows fails
+    the value hash."""
+    import tempfile
+
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cut = F.lit("1997-09-01").cast("timestamp")
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(
+            spark,
+            f"{tmp}/orders",
+            [
+                ("o_orderkey", "bigint"),
+                ("o_orderdate", "timestamp"),
+                ("o_totalprice", "double"),
+            ],
+            key_cols=["o_orderkey"],
+            num_buckets=8,
+            properties={"write.sort.cols": "o_orderdate"},
+        )
+        bounds = [None, "1995-01-01", "1997-01-01", "1999-01-01"]
+        for lo, hi in zip(bounds, bounds[1:] + [None]):
+            chunk = o
+            if lo is not None:
+                chunk = chunk.where(F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                chunk = chunk.where(F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            t.append(chunk)
+        pruned = t.scan("o_orderdate >= TIMESTAMP '1997-09-01 00:00:00'")
+        # the skipping must be observable, not just plausible: at least the
+        # all-earlier chunks' files never reach the Spark scan (timestamp
+        # pruning is active only under a UTC session — the engine ignores
+        # timestamp conjuncts otherwise, which keeps results right anyway)
+        from data_migration_validator_spark.lake.stats import _session_tz_is_utc
+
+        if _session_tz_is_utc(spark):
+            assert len(pruned.inputFiles()) < len(t.manifest["files"]), (
+                "stats pruning had no effect on the file list"
+            )
+        out = (
+            pruned.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _dsum("o_totalprice", "total_price"),
+            )
+            .orderBy("month")
+        )
+        # rebuild from collected rows: the tmp-dir table vanishes with the
+        # with-block, and a cache()d plan is not durable.
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1201,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_topk": q_sample_topk,
         "ivm_refresh": q_ivm_refresh,
         "global_row_number": q_global_row_number,
+        "stats_pruned_scan": q_stats_pruned_scan,
     }
 
 
@@ -1890,6 +1956,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(o_custkey) AS BIGINT) AS sum_o_custkey
         FROM orders
         WHERE o_orderkey % 16 <> 2
+        GROUP BY 1 ORDER BY 1
+    """
+    # --- stats-pruned scan: skipping files must change nothing about the
+    # answer, so the oracle is the plain filtered rollup over the source.
+    sqls["stats_pruned_scan"] = """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-09-01 00:00:00'
         GROUP BY 1 ORDER BY 1
     """
     return sqls

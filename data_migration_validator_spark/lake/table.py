@@ -45,8 +45,31 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .schema import TableSchema
+from .stats import collect_entry_stats, prune_entries
 
 _MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the sequence this handle was about to take.
+
+    The commit protocol is optimistic concurrency on the manifest version:
+    each writer prepares snapshot ``seq+1`` from its loaded manifest and
+    claims ``_manifest/v<seq+1>.json`` with an atomic ``os.link`` — the
+    filesystem-level compare-and-swap (link fails with EEXIST if the name
+    exists; unlike a bare exists()-check + replace there is no window in
+    which two writers both pass).  The loser's data files are orphans (never
+    referenced by any manifest — invisible to readers, reclaimed by
+    :meth:`LakeTable.expire_snapshots`), and the loser's handle is left on
+    its ORIGINAL snapshot, so the recovery is always: ``load()`` a fresh
+    handle and re-apply.  For idempotent CDC batches the replay loop does
+    exactly that for free (the batch marker is only recorded after a
+    manifest wins, so the retry re-applies the batch)."""
+
+
+class _UnprunableLiteral(Exception):
+    """Internal: a pinning literal cannot be decoded soundly — the caller
+    must fall back to a full (unpruned) scan."""
 
 
 def _should_broadcast(
@@ -275,16 +298,33 @@ class LakeTable:
         }
 
     def _write_manifest(self, manifest: dict) -> None:
+        """Commit ``manifest`` as the next snapshot via a true CAS: the
+        version filename is claimed with ``os.link`` (atomic fail-if-exists
+        on POSIX), so of N racing writers exactly one wins and every loser
+        gets :class:`ConcurrentCommitError` — no
+        check-then-replace window in which a commit could be silently
+        clobbered.  On an object store this maps to a conditional PUT
+        (If-None-Match) or a commit-coordinator swap."""
         self._assert_writable()
         seq = manifest["seq"]
         mdir = os.path.join(self.root, "_manifest")
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(mdir, f"v{seq:08d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(f"concurrent commit detected at seq {seq}")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.replace(tmp, final)
+        try:
+            os.link(tmp, final)  # atomic claim: EEXIST = lost the race
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"seq {seq} was committed by another writer while this "
+                f"handle held seq {self.manifest['seq']}; load() a fresh "
+                "handle and re-apply"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         self.manifest = manifest
 
     def _next_manifest(self, **updates) -> dict:
@@ -343,12 +383,36 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # read path
     # ------------------------------------------------------------------ #
+    def _stat_cols(self) -> list[str]:
+        """Columns whose per-file min/max/null stats ride the manifest
+        (``write.stats.cols`` property: comma list; ``"auto"``/unset = every
+        statable primitive column, capped at 12 like Iceberg's default
+        stats budget; ``""`` disables)."""
+        from .stats import statable
+
+        prop = self.manifest["properties"].get("write.stats.cols", "auto")
+        if prop == "auto":
+            return [f.name for f in self.schema.fields if statable(f.type)][:12]
+        return [c.strip() for c in prop.split(",") if c.strip()]
+
+    def _sort_cols(self) -> list[str]:
+        """Clustered-write columns (``write.sort.cols`` property): rows are
+        sorted by these WITHIN each bucket's write task, so per-file (and
+        per-row-group) min/max ranges become narrow and disjoint — the
+        prerequisite for the stats pruning in :meth:`scan` to be selective
+        (Delta OPTIMIZE ZORDER's purpose, done at write time)."""
+        prop = self.manifest["properties"].get("write.sort.cols", "")
+        return [c.strip() for c in prop.split(",") if c.strip()]
+
     def bucket_expr(self, col: str | None = None) -> F.Column:
         src = col or self.bucket_source
         return F.pmod(F.xxhash64(F.col(src)), F.lit(self.num_buckets)).cast("int")
 
     def read(
-        self, buckets: list[int] | None = None, with_bucket: bool = False
+        self,
+        buckets: list[int] | None = None,
+        with_bucket: bool = False,
+        stats_predicate: str | None = None,
     ) -> DataFrame:
         """Current-schema DataFrame over the live table state.
 
@@ -366,9 +430,19 @@ class LakeTable:
         keys in the base (MERGE guarantees it; a blind ``append`` of
         duplicate keys onto a delta-bearing table is caller error, as in
         Iceberg equality-delete semantics).
+
+        ``stats_predicate`` skips BASE files whose per-file min/max stats
+        prove no row can match (see :mod:`.stats`) — the caller MUST still
+        apply the same predicate to the result (this method does not): the
+        contract is only that every row satisfying the predicate survives.
+        Sound under MOR because delta files are never skipped and any delta
+        row outranks its base row in :meth:`_resolve_mor` whether or not
+        the base row was scanned; base rows without deltas that were
+        skipped provably fail the predicate, so the caller's filter would
+        drop them anyway.
         """
         cur = self.schema
-        base = self._read_base(cur, buckets)
+        base = self._read_base(cur, buckets, stats_predicate)
         deltas = self.manifest.get("deltas", [])
         if buckets is not None:
             bset = set(buckets)
@@ -378,12 +452,23 @@ class LakeTable:
             df = df.withColumn("__bucket", self.bucket_expr())
         return df
 
-    def _read_base(self, cur: TableSchema, buckets: list[int] | None) -> DataFrame:
+    def _read_base(
+        self,
+        cur: TableSchema,
+        buckets: list[int] | None,
+        stats_predicate: str | None = None,
+    ) -> DataFrame:
         """Plain scan of the base files projected to the current schema."""
         files = self.manifest["files"]
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if stats_predicate and files:
+            # field-id-keyed min/max interval tests; stats written under an
+            # older schema stay valid because ids survive renames and the
+            # bounds are re-normalized under the current (possibly widened)
+            # type — see stats.prune_entries soundness notes
+            files = prune_entries(self.spark, stats_predicate, cur, files)
         if not files:
             return self.spark.createDataFrame([], cur.to_struct_type())
 
@@ -466,6 +551,24 @@ class LakeTable:
     def to_df(self) -> DataFrame:
         return self.read()
 
+    def scan(self, predicate: str | None = None) -> DataFrame:
+        """``SELECT * WHERE predicate`` with every metadata prune applied:
+        static bucket pruning when the predicate pins the bucket column
+        (:meth:`_buckets_from_predicate`), per-file min/max stats skipping
+        for range/IN/null conjuncts (:mod:`.stats`), then the full predicate
+        as a residual Spark filter — so the result is EXACTLY the filtered
+        table regardless of how much pruning applied.  At 100 TB this is the
+        read path for time-ranged and selective queries: with
+        ``write.sort.cols`` clustering, a day's slice touches a handful of
+        files instead of the whole table."""
+        if predicate is None:
+            return self.read()
+        df = self.read(
+            buckets=self._buckets_from_predicate(predicate),
+            stats_predicate=predicate,
+        )
+        return df.filter(F.expr(predicate))
+
     # ------------------------------------------------------------------ #
     # write path
     # ------------------------------------------------------------------ #
@@ -503,6 +606,12 @@ class LakeTable:
         from pyspark.sql import Observation
 
         self._assert_writable()  # before any data file lands (no orphans)
+        # a session built outside session.get_spark may still default to
+        # legacy INT96 timestamps, which carry no parquet statistics and
+        # would blind the per-file skipping — pin micros for lake writes
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         snap_dir = f"data/snap-{self.manifest['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, snap_dir)
         obs = Observation(f"rows-{snap_dir}")
@@ -517,6 +626,12 @@ class LakeTable:
                 F.col("__bucket")
             )
         )
+        sort_cols = self._sort_cols()
+        if sort_cols:
+            # clustered layout: in-partition sort only (no extra exchange);
+            # leading __bucket keeps whole buckets contiguous per task, so
+            # partitionBy still writes one file per bucket per task
+            shaped = shaped.sortWithinPartitions("__bucket", *sort_cols)
         (
             shaped.observe(obs, *bucket_aggs)
             .write.option("maxRecordsPerFile", 5_000_000)
@@ -545,6 +660,12 @@ class LakeTable:
                     "schema_id": self.manifest["schema_id"],
                 }
             )
+        stat_cols = self._stat_cols()
+        if stat_cols and entries:
+            # footer-only metadata reads, executor-side, O(files written
+            # THIS commit) — the driver opens no footers (the commit path's
+            # serial term stays O(1)); never O(table)
+            collect_entry_stats(self.spark, self.root, entries, self.schema, stat_cols)
         return entries, bucket_rows
 
     def _write_delta_files(
@@ -1069,32 +1190,57 @@ class LakeTable:
 
         def py_literal(e):
             """Literal node → python value (py4j converts primitives; Spark
-            internal types like UTF8String/Decimal round-trip via str)."""
+            internal types like UTF8String/Decimal round-trip via str).
+            TIMESTAMP/DATE literals arrive in Catalyst internal form
+            (micros/days since epoch) and MUST be decoded — casting the raw
+            long to timestamp would treat it as seconds and hash a wrong
+            bucket, silently missing rows."""
+            import datetime as _dt
+
             v = e.value()
-            if v is None or isinstance(v, (bool, int, float, str)):
+            if v is None:
+                return None
+            tname = str(e.dataType().typeName())
+            if tname.startswith("timestamp"):
+                tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+                if (tz or "").strip().lower() not in (
+                    "utc", "etc/utc", "gmt", "z", "+00:00",
+                ):
+                    # micros are UTC; re-encoding under another session tz
+                    # could hash a different bucket — forgo pruning
+                    raise _UnprunableLiteral()
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    microseconds=int(str(v))
+                )
+            if tname == "date":
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v)))
+            if isinstance(v, (bool, int, float, str)):
                 return v
             return str(v)
 
         src_l = self.bucket_source.lower()
         pinned = None
-        for c in conjuncts(jexpr):
-            k = kind(c)
-            if k in ("EqualTo", "EqualNullSafe"):
-                left, right = c.left(), c.right()
-                for a, b in ((left, right), (right, left)):
-                    name = attr_name(a)
-                    if name and name.lower() == src_l and kind(b) == "Literal":
-                        pinned = [py_literal(b)]
-                        break
-            elif k == "In":
-                name = attr_name(c.value())
-                if name and name.lower() == src_l:
-                    lst = c.list()
-                    items = [lst.apply(i) for i in range(lst.size())]
-                    if items and all(kind(i) == "Literal" for i in items):
-                        pinned = [py_literal(i) for i in items]
-            if pinned:
-                break
+        try:
+            for c in conjuncts(jexpr):
+                k = kind(c)
+                if k in ("EqualTo", "EqualNullSafe"):
+                    left, right = c.left(), c.right()
+                    for a, b in ((left, right), (right, left)):
+                        name = attr_name(a)
+                        if name and name.lower() == src_l and kind(b) == "Literal":
+                            pinned = [py_literal(b)]
+                            break
+                elif k == "In":
+                    name = attr_name(c.value())
+                    if name and name.lower() == src_l:
+                        lst = c.list()
+                        items = [lst.apply(i) for i in range(lst.size())]
+                        if items and all(kind(i) == "Literal" for i in items):
+                            pinned = [py_literal(i) for i in items]
+                if pinned:
+                    break
+        except _UnprunableLiteral:
+            return None
         if not pinned:
             return None
 
@@ -1112,9 +1258,10 @@ class LakeTable:
     def _discover_touched(self, predicate: str) -> tuple[list[int], int]:
         """ONE scan + one action: (touched buckets, matching-row count).
         The scan is file-pruned up front when the predicate pins the bucket
-        column to literals."""
+        column to literals, and per-file min/max stats skip base files no
+        matching row can live in (range predicates prune here too)."""
         pre = self._buckets_from_predicate(predicate)
-        df = self.read(buckets=pre, with_bucket=True)
+        df = self.read(buckets=pre, with_bucket=True, stats_predicate=predicate)
         row = (
             df.filter(F.expr(predicate))
             .agg(

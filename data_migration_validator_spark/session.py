@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
+        # standard micros timestamps, not legacy INT96: INT96 parquet
+        # columns carry NO min/max statistics, which would blind the lake's
+        # per-file data skipping (lake/stats.py) on every timestamp column
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

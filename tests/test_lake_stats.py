@@ -1,0 +1,291 @@
+"""Per-file column stats, predicate file skipping (lake/stats.py), the
+clustered-write layout, and the optimistic-concurrency manifest CAS.
+
+Scale rationale: bucket pruning only helps key-equality predicates; the
+min/max skipping here is what keeps time-ranged / selective scans
+O(matching files) on an append-mostly 100-TB table (Iceberg/Delta data
+skipping).  Every pruning test also asserts RESULT equality against the
+unpruned filter, so a pruning bug can only ever fail loudly."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_validator_spark.lake import ConcurrentCommitError, LakeTable
+
+SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("day", "int"),
+    ("size", "bigint"),
+    ("content", "string"),
+]
+
+
+def _mk(spark, root, name="t", properties=None, num_buckets=4):
+    return LakeTable.create(
+        spark,
+        os.path.join(root, name),
+        SCHEMA,
+        key_cols=["repo", "path"],
+        num_buckets=num_buckets,
+        properties=properties,
+    )
+
+
+def _day_rows(spark, day, n=8, content="x"):
+    return spark.createDataFrame(
+        [(f"r{i}", f"p{day}", "c", day, day * 100 + i, content) for i in range(n)],
+        "repo string, path string, commit string, day int, size long, content string",
+    ).drop("commit").selectExpr("repo", "path", "day", "size", "content")
+
+
+def _append_days(spark, t, days):
+    for d in days:
+        t.append(_day_rows(spark, d))
+
+
+def _all_stats(t):
+    return {e["path"]: e.get("stats") for e in t.manifest["files"]}
+
+
+def test_stats_collected_on_write(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    _append_days(spark, t, [1])
+    fid_day = t.schema.field_by_name("day").id
+    fid_size = t.schema.field_by_name("size").id
+    for e in t.manifest["files"]:
+        st = e["stats"]
+        lo, hi, nulls, rows = st[str(fid_day)]
+        assert lo == 1 and hi == 1 and nulls == 0 and rows >= 1
+        lo, hi, _, _ = st[str(fid_size)]
+        assert 100 <= lo <= hi <= 107
+
+
+def test_scan_skips_files_by_range(spark, tmp_root):
+    """Each append commit covers one distinct day -> per-file day ranges are
+    disjoint across commits; a day-range scan must read only the matching
+    commits' files and return exactly the filtered table."""
+    t = _mk(spark, tmp_root)
+    _append_days(spark, t, [1, 2, 3, 4])
+    total = len(t.manifest["files"])
+    got = t.scan("day >= 4")
+    want = [
+        tuple(r) for r in t.read().filter("day >= 4").orderBy("repo").collect()
+    ]
+    assert [tuple(r) for r in got.orderBy("repo").collect()] == want
+    assert 0 < len(got.inputFiles()) <= total // 4
+    # IN-list and equality prune the same way
+    assert len(t.scan("day IN (2)").inputFiles()) <= total // 4
+    # reversed operands and BETWEEN (parsed as two conjuncts) prune too
+    assert len(t.scan("3 <= day AND day <= 3").inputFiles()) <= total // 4
+    assert t.scan("day BETWEEN 3 AND 3").count() == 8
+
+
+def test_scan_unsupported_shapes_never_lose_rows(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    _append_days(spark, t, [1, 2])
+    for pred in (
+        "day = 1 OR day = 2",          # OR: no pruning
+        "NOT day = 1",                 # NOT: no pruning
+        "abs(day) = 2",                # function: no pruning
+        "day = 1 AND size > 100",      # mixed: prunes on both conjuncts
+    ):
+        want = [
+            tuple(r)
+            for r in t.read().filter(pred).orderBy("repo", "day").collect()
+        ]
+        got = [
+            tuple(r)
+            for r in t.scan(pred).orderBy("repo", "day").collect()
+        ]
+        assert got == want, pred
+
+
+def test_scan_empty_result_reads_zero_files(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    _append_days(spark, t, [1, 2])
+    out = t.scan("day > 99")
+    assert out.count() == 0
+    assert len(out.inputFiles()) == 0
+
+
+def test_null_bounds_and_null_tests(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.append(
+        spark.createDataFrame(
+            [("r1", "p", None, None, "x"), ("r2", "p", None, None, "x")],
+            "repo string, path string, day int, size long, content string",
+        )
+    )
+    t.append(_day_rows(spark, 5))
+    # IS NOT NULL prunes the all-null file; IS NULL prunes the day-5 files
+    nn = t.scan("day IS NOT NULL")
+    assert nn.count() == 8 and len(nn.inputFiles()) < len(t.manifest["files"])
+    isn = t.scan("day IS NULL")
+    assert isn.count() == 2
+    # a value test against the all-null file: bounds are open, nulls prune it
+    assert t.scan("day = 5").count() == 8
+
+
+def test_rename_keeps_old_files_prunable(spark, tmp_root):
+    """Stats are keyed by FIELD ID: after a rename, a predicate on the new
+    name must still skip files written under the old name."""
+    t = _mk(spark, tmp_root)
+    _append_days(spark, t, [1, 2])
+    t.rename_column("day", "event_day")
+    got = t.scan("event_day = 2")
+    assert got.count() == 8
+    assert len(got.inputFiles()) < len(t.manifest["files"])
+
+
+def test_string_bounds_truncated_but_sound(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    long_a = "a" * 200
+    long_z = "z" * 200
+    t.append(
+        spark.createDataFrame(
+            [("r1", "p", 1, 1, long_a), ("r2", "p", 1, 1, long_z)],
+            "repo string, path string, day int, size long, content string",
+        )
+    )
+    fid = t.schema.field_by_name("content").id
+    for st in _all_stats(t).values():
+        ent = st.get(str(fid))
+        if ent is None:
+            continue
+        lo, hi = ent[0], ent[1]
+        assert lo is None or len(lo) <= 65
+        assert hi is None or len(hi) <= 65
+        # upper bound stays a true upper bound after increment-truncate
+        assert hi is None or hi >= "z"
+    # rows with long values still match through the truncated bounds
+    assert t.scan(f"content = '{long_z}'").count() == 1
+    assert t.scan("content = 'zz'").count() == 0
+
+
+def test_update_delete_with_range_predicates(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    _append_days(spark, t, [1, 2, 3])
+    assert t.update_where("day >= 3", {"content": "'new'"}) == 8
+    assert t.read().filter("content = 'new'").count() == 8
+    assert t.delete_where("day < 2") == 8
+    assert t.row_count() == 16
+
+
+def test_scan_over_mor_deltas(spark, tmp_root):
+    """Stats skipping must not change results when MOR deltas are live: a
+    delta row outranks its (possibly skipped) base row either way."""
+    t = _mk(spark, tmp_root, properties={"write.merge.mode": "mor"})
+    _append_days(spark, t, [1, 2])
+    upd = _day_rows(spark, 1).withColumn("content", F.lit("v2")).withColumn(
+        "op", F.lit("upsert")
+    )
+    t.merge(upd, batch_id=1)
+    assert t.manifest.get("deltas"), "fixture must exercise the MOR path"
+    want = [
+        tuple(r)
+        for r in t.read().filter("day = 1").orderBy("repo").collect()
+    ]
+    got = [tuple(r) for r in t.scan("day = 1").orderBy("repo").collect()]
+    assert got == want and all(r[4] == "v2" for r in got)
+
+
+def test_sort_cols_cluster_within_bucket(spark, tmp_root):
+    """write.sort.cols orders rows within each written file so row-group
+    ranges are narrow; the table round-trips identically."""
+    t = _mk(spark, tmp_root, properties={"write.sort.cols": "day,size"})
+    df = _day_rows(spark, 1).union(_day_rows(spark, 2)).union(_day_rows(spark, 3))
+    t.append(df)
+    assert t.row_count() == 24
+    assert sorted(tuple(r) for r in t.read().collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    import pyarrow.parquet as pq
+
+    seen_sorted = 0
+    for e in t.manifest["files"]:
+        tbl = pq.read_table(os.path.join(t.root, e["path"]), columns=["day", "size"])
+        pairs = list(zip(tbl.column("day").to_pylist(), tbl.column("size").to_pylist()))
+        assert pairs == sorted(pairs)
+        seen_sorted += 1
+    assert seen_sorted > 0
+
+
+def test_stats_disabled_by_property(spark, tmp_root):
+    t = _mk(spark, tmp_root, properties={"write.stats.cols": ""})
+    _append_days(spark, t, [1])
+    assert all(st is None for st in _all_stats(t).values())
+    # scan still correct, just unpruned
+    assert t.scan("day = 1").count() == 8
+
+
+def test_timestamp_and_date_pruning(spark, tmp_root):
+    """TIMESTAMP/DATE literals arrive from the parser in Catalyst internal
+    form (micros/days since epoch) and timestamps are written as micros
+    (never statless INT96) — both decoded, a time-range scan skips files."""
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "ts"),
+        [("k", "bigint"), ("ts", "timestamp"), ("d", "date")],
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    for month in (1, 2, 3):
+        t.append(
+            spark.range(month * 10, month * 10 + 5).selectExpr(
+                "id AS k",
+                f"timestamp'2024-0{month}-10 00:00:00' + "
+                "make_interval(0,0,0,cast(id % 5 as int),0,0,0) AS ts",
+                f"date'2024-0{month}-10' AS d",
+            )
+        )
+    total = len(t.manifest["files"])
+    got = t.scan("ts >= TIMESTAMP '2024-03-01 00:00:00'")
+    assert got.count() == 5 and 0 < len(got.inputFiles()) < total
+    gd = t.scan("d = DATE '2024-02-10'")
+    assert gd.count() == 5 and 0 < len(gd.inputFiles()) < total
+    # bare string literal against a timestamp column prunes too
+    gs = t.scan("ts < '2024-02-01 00:00:00'")
+    assert gs.count() == 5 and 0 < len(gs.inputFiles()) < total
+
+
+def test_bucket_prune_timestamp_key_correct(spark, tmp_root):
+    """A TIMESTAMP literal pinning the bucket column must hash the decoded
+    instant (the raw Catalyst long would bucket wrongly and silently skip
+    matching rows in UPDATE/DELETE)."""
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "tk"),
+        [("ts", "timestamp"), ("v", "string")],
+        key_cols=["ts"],
+        num_buckets=8,
+    )
+    t.append(
+        spark.range(16).selectExpr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,cast(id as int),0,0) AS ts",
+            "'old' AS v",
+        )
+    )
+    n = t.update_where("ts = TIMESTAMP '2024-01-01 03:00:00'", {"v": "'new'"})
+    assert n == 1
+    assert t.read().filter("v = 'new'").count() == 1
+    assert t.delete_where("ts = TIMESTAMP '2024-01-01 05:00:00'") == 1
+    assert t.row_count() == 15
+
+
+def test_concurrent_commit_cas(spark, tmp_root):
+    """Two handles race one sequence number: exactly one wins, the loser
+    gets a typed error, stays on its own snapshot, and succeeds after
+    reloading (the documented recovery)."""
+    a = _mk(spark, tmp_root)
+    b = LakeTable.load(spark, a.root)
+    a.append(_day_rows(spark, 1))
+    with pytest.raises(ConcurrentCommitError):
+        b.append(_day_rows(spark, 2))
+    assert b.manifest["seq"] == 1  # loser not advanced past its snapshot
+    b2 = LakeTable.load(spark, a.root)
+    b2.append(_day_rows(spark, 2))
+    assert b2.row_count() == 16
