@@ -1206,6 +1206,22 @@ def q_stats_pruned_scan(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher/MassiveText "repetitious text" filter metrics: per document,
+    how much of it sits inside repeated word bigrams (boilerplate/template
+    spam scores high and is culled before training).  Relational explode →
+    two hash aggregates with map-side partial collapse — no per-doc
+    quadratic HOF, skew-proof (operators/text.py repetition_metrics)."""
+    from data_migration_validator_spark.operators.text import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        repetition_metrics(d, "text", ("doc_id",), n=2)
+        .select("doc_id", "n_ngrams", "dup_ngrams", "top_ngram_cnt")
+        .orderBy("doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1267,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_refresh": q_ivm_refresh,
         "global_row_number": q_global_row_number,
         "stats_pruned_scan": q_stats_pruned_scan,
+        "ngram_repetition": q_ngram_repetition,
     }
 
 
@@ -1957,6 +1974,28 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_orderkey % 16 <> 2
         GROUP BY 1 ORDER BY 1
+    """
+    # --- n-gram repetition: exact BIGINT counts only (the derived fracs
+    # round doubles, where DuckDB/Spark tie-breaking could differ).
+    sqls["ngram_repetition"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') AS t
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2
+        ), grams AS (
+            SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram FROM idx
+        ), per_gram AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS dup_ngrams,
+               CAST(MAX(cnt) AS BIGINT) AS top_ngram_cnt
+        FROM per_gram GROUP BY doc_id ORDER BY doc_id
     """
     # --- stats-pruned scan: skipping files must change nothing about the
     # answer, so the oracle is the plain filtered rollup over the source.

@@ -275,6 +275,73 @@ def bench_ivm(
     }
 
 
+def bench_stats_scan(
+    spark, sf_dir: str, repeats: int = 2, max_load: float = 8.0
+) -> dict:
+    """Per-file stats skipping vs full scan: orders land in seven
+    ORDER-DATE range commits (``write.sort.cols`` clustering — the natural
+    time-ordered ingest layout), then a 2-year range aggregate runs through
+    ``scan(pred)`` (manifest min/max interval test prunes the file list
+    before Spark ever lists parquet) and through the unpruned
+    ``read().filter(pred)``.
+
+    ``files_scanned``/``files_total`` is the scale-independent evidence: at
+    10^10 rows that ratio IS the speedup, while the sf0.1 walls mostly show
+    fixed job cost.  ``verified``: both paths produce the identical
+    bit_xor-of-xxhash digest, so pruning provably lost no rows."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    pred = "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
+
+    def _digest(df):
+        h = F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
+        return df.select(h).agg(F.expr("bit_xor(__h)")).collect()[0][0]
+
+    pruned_w, full_w = [], []
+    with tempfile.TemporaryDirectory() as tmp:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        t = LakeTable.create(
+            spark,
+            f"{tmp}/orders",
+            [
+                ("o_orderkey", "bigint"),
+                ("o_orderdate", "timestamp"),
+                ("o_totalprice", "double"),
+            ],
+            key_cols=["o_orderkey"],
+            num_buckets=8,
+            properties={"write.sort.cols": "o_orderdate"},
+        )
+        years = [f"{y}-01-01" for y in range(1992, 2000)]
+        for lo, hi in zip(years, years[1:] + [None]):
+            chunk = o.where(F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                chunk = chunk.where(F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            t.append(chunk)
+        verified = _digest(t.scan(pred)) == _digest(t.read().filter(pred))  # + warm
+        for _ in range(max(1, repeats)):
+            _wait_for_quiet(max_load)
+            t0 = time.monotonic()
+            _digest(t.scan(pred))
+            pruned_w.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            _digest(t.read().filter(pred))
+            full_w.append(time.monotonic() - t0)
+        files_scanned = len(t.scan(pred).inputFiles())
+        files_total = len(t.manifest["files"])
+    return {
+        "pruned_sec": round(min(pruned_w), 3),
+        "full_sec": round(min(full_w), 3),
+        "files_scanned": files_scanned,
+        "files_total": files_total,
+        "verified": bool(verified),
+    }
+
+
 def bench_cdc_demux(
     spark, n_events: int, n_batches: int = 4, repeats: int = 2, max_load: float = 8.0
 ) -> dict:
@@ -381,6 +448,9 @@ def main():
     ivm = bench_ivm(spark, n_events=n_ev, repeats=repeats, max_load=max_load)
     per_query["ivm_refresh"] = ivm["refresh_sec"]
     per_query["ivm_recompute"] = ivm["recompute_sec"]
+    sscan = bench_stats_scan(spark, sf_dir, repeats=repeats, max_load=max_load)
+    per_query["stats_pruned_scan"] = sscan["pruned_sec"]
+    per_query["stats_full_scan"] = sscan["full_sec"]
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -399,6 +469,7 @@ def main():
                 "cdc_stream": cdc_stream,
                 "cdc_demux": cdc_demux,
                 "ivm": ivm,
+                "stats_scan": sscan,
             }
         )
     )

@@ -106,6 +106,60 @@ def document_fingerprint(text_col: str | Column, ngram: int = 5) -> Column:
     return F.sha2(norm, 256)
 
 
+def repetition_metrics(df, text_col: str = "text", id_cols=("doc_id",), n: int = 2):
+    """Per-document word n-gram repetition metrics (the Gopher/MassiveText
+    "repetitious text" filter family: fraction of text inside repeated /
+    top n-grams — boilerplate and template spam score high and get culled
+    before training).
+
+    Relational plan, no per-doc quadratic work: tokens → n-grams via one
+    ``transform(sequence(...))`` (JVM HOF), explode, then TWO hash
+    aggregates — (doc, gram) counts, then per-doc rollup.  Partial (map-
+    side) aggregation collapses repeats before the shuffle, so a pathological
+    doc repeating one gram a million times ships one partial row per task,
+    not a million — the plan survives 100 TB and skew alike.
+
+    Output: ``id_cols`` + exact counts (``n_ngrams``, ``dup_ngrams``,
+    ``top_ngram_cnt`` — BIGINT, hash-stable for oracles) + derived
+    ``dup_ngram_frac`` / ``top_ngram_frac``.  Documents with fewer than
+    ``n`` tokens have no n-grams and are absent (nothing to score)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _tokens(raw)
+    sz = F.size(toks)
+
+    def _gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        )
+
+    # the empty-text guard matters at n=1: split("") is [""], which would
+    # otherwise count one phantom empty token
+    grams = F.when(
+        (sz >= n) & (F.length(F.trim(raw)) > 0),
+        F.transform(F.sequence(F.lit(1), sz - n + 1), _gram),
+    )
+    exploded = df.select(*id_cols, F.explode(grams).alias("__gram"))
+    per_gram = exploded.groupBy(*id_cols, "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    total = F.sum("__cnt").cast("bigint")
+    dup = F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt")).otherwise(0)).cast("bigint")
+    top = F.max("__cnt").cast("bigint")
+    out = per_gram.groupBy(*id_cols).agg(
+        total.alias("n_ngrams"), dup.alias("dup_ngrams"), top.alias("top_ngram_cnt")
+    )
+    return out.select(
+        *id_cols,
+        "n_ngrams",
+        "dup_ngrams",
+        "top_ngram_cnt",
+        F.round(F.col("dup_ngrams") / F.col("n_ngrams"), 6).alias("dup_ngram_frac"),
+        F.round(F.col("top_ngram_cnt") / F.col("n_ngrams"), 6).alias("top_ngram_frac"),
+    )
+
+
 def rolling_min_hash(text_col: str | Column, ngram: int = 5) -> Column:
     """Winnowing-style content key: min xxhash64 over character n-gram
     windows — robust to small edits (one changed region only shifts a few

@@ -379,3 +379,39 @@ def test_connected_components_chain_and_clique(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_repetition_metrics(spark):
+    """Gopher-style n-gram repetition: hand-computed bigram/token counts,
+    null/empty/short docs absent, normalization (case + whitespace runs)."""
+    from data_migration_validator_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # bigrams: [a b, b a, a b, b a, a b]
+            (2, "x y z"),
+            (3, ""),
+            (4, None),
+            (5, "solo"),
+            (6, "T  t\tT"),      # lower+\s+ -> [t, t, t]
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df, "text", ("doc_id",), 2).collect()}
+    assert (out[1]["n_ngrams"], out[1]["dup_ngrams"], out[1]["top_ngram_cnt"]) == (5, 5, 3)
+    assert abs(out[1]["dup_ngram_frac"] - 1.0) < 1e-9
+    assert abs(out[1]["top_ngram_frac"] - 0.6) < 1e-9
+    assert (out[2]["n_ngrams"], out[2]["dup_ngrams"], out[2]["top_ngram_cnt"]) == (2, 0, 1)
+    assert (out[6]["n_ngrams"], out[6]["dup_ngrams"]) == (2, 2)
+    assert 3 not in out and 4 not in out and 5 not in out
+
+    # n=1 degenerates to token repetition; empty docs stay absent
+    out1 = {r["doc_id"]: r for r in repetition_metrics(df, "text", ("doc_id",), 1).collect()}
+    assert (out1[1]["n_ngrams"], out1[1]["dup_ngrams"], out1[1]["top_ngram_cnt"]) == (6, 6, 3)
+    assert (out1[5]["n_ngrams"], out1[5]["dup_ngrams"]) == (1, 0)
+    assert 3 not in out1 and 4 not in out1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        repetition_metrics(df, "text", ("doc_id",), 0)
