@@ -56,6 +56,25 @@ def _base_type(type_str: str) -> str:
     return type_str.split("(")[0].strip().lower()
 
 
+_DOMAINS = {
+    **{t: "num" for t in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")},
+    **{t: "str" for t in ("string", "char", "varchar")},
+    "date": "time",
+    "timestamp": "time",
+    "boolean": "bool",
+}
+
+
+def same_comparison_domain(frm: str, to: str) -> bool:
+    """True iff stored bounds collected under ``frm`` stay soundly
+    comparable after the column widens to ``to``.  int -> string moves the
+    column to LEXICAL order where the numeric bounds are meaningless
+    ('11' < '9'), so that widen must scrub the field's stats; int -> bigint
+    or date -> timestamp keep one comparison domain and the bounds stay
+    valid."""
+    return _DOMAINS.get(_base_type(frm)) == _DOMAINS.get(_base_type(to))
+
+
 def statable(type_str: str) -> bool:
     b = _base_type(type_str)
     return b in _NUMERIC or b in {
@@ -394,6 +413,37 @@ def build_tests(spark, predicate: str, schema) -> list[_Test]:
             return None
         return fld
 
+    def lit_comparable(fld, lit) -> bool:
+        """False when Spark would NOT evaluate ``col op lit`` in the
+        column's own stats domain.  A numeric/date/timestamp literal on a
+        STRING column makes Spark coerce the COLUMN (numeric compare:
+        '10' > 9 is true), so a lexical interval test on the stored string
+        bounds would wrongly prune — drop the conjunct.  The reverse
+        (string literal on a typed column) casts the LITERAL, which _norm
+        reproduces."""
+        if _base_type(fld.type) in ("string", "char", "varchar"):
+            return isinstance(lit, str)
+        return True
+
+    def date_vs_ts(op: str, ts: _dt.datetime):
+        """``date_col op TIMESTAMP_LITERAL``: Spark promotes the COLUMN to
+        timestamp (midnight instants), so rewrite into an equivalent test
+        on the date domain.  None = conjunct contributes no pruning."""
+        if not ts_ok:  # date -> timestamp cast is session-tz dependent
+            return None
+        d, mid = ts.date(), ts.time() == _dt.time(0, 0)
+        if op == "eq":
+            return ("eq", d) if mid else None  # non-midnight: no date equals it
+        if op == "lt":  # midnight(d') < ts  <=>  d' <= date(ts) when ts has time
+            return ("lt" if mid else "le", d)
+        if op == "le":
+            return ("le", d)
+        if op == "gt":  # midnight(d') > ts  <=>  d' > date(ts) always
+            return ("gt", d)
+        if op == "ge":
+            return ("ge", d) if mid else ("gt", d)
+        return None
+
     tests: list[_Test] = []
     for c in conjuncts(jexpr):
         k = kind(c)
@@ -405,11 +455,19 @@ def build_tests(spark, predicate: str, schema) -> list[_Test]:
                     lit = py_literal(b)
                     if lit is None:
                         break  # NULL comparison: ignore conjunct (sound)
+                    if not lit_comparable(fld, lit):
+                        break
+                    fin_op = _FLIP[op] if flip else op
+                    if _base_type(fld.type) == "date" and isinstance(
+                        lit, _dt.datetime
+                    ):
+                        rewritten = date_vs_ts(fin_op, lit)
+                        if rewritten is None:
+                            break
+                        fin_op, lit = rewritten
                     ok, v = _norm(fld.type, lit)
                     if ok:
-                        tests.append(
-                            _Test(fld.id, fld.type, _FLIP[op] if flip else op, [v])
-                        )
+                        tests.append(_Test(fld.id, fld.type, fin_op, [v]))
                     break
         elif k == "In":
             fld = field_for(c.value())
@@ -425,6 +483,14 @@ def build_tests(spark, predicate: str, schema) -> list[_Test]:
                 lit = py_literal(i)
                 if lit is None:
                     continue  # NULL in IN-list matches nothing
+                if not lit_comparable(fld, lit):
+                    sound = False
+                    break
+                if _base_type(fld.type) == "date" and isinstance(lit, _dt.datetime):
+                    rewritten = date_vs_ts("eq", lit)
+                    if rewritten is None:
+                        continue  # non-midnight ts: equals no date, drop value
+                    lit = rewritten[1]
                 ok, v = _norm(fld.type, lit)
                 if not ok:
                     sound = False

@@ -378,7 +378,26 @@ class LakeTable:
             self._evolve(self.schema.rename_column(old, new))
 
     def widen_type(self, name: str, to: str) -> None:
-        self._evolve(self.schema.widen_type(name, to))
+        from .stats import same_comparison_domain
+
+        fld = self.schema.field_by_name(name)
+        new_schema = self.schema.widen_type(name, to)
+        new_id = int(self.manifest["schema_id"]) + 1
+        m = self._next_manifest(schema_id=new_id)
+        m["schemas"][str(new_id)] = new_schema.to_json()
+        if fld is not None and not same_comparison_domain(fld.type, to):
+            # e.g. int -> string: the column moves to lexical comparison,
+            # where the stored numeric bounds would wrongly prune
+            # ('11' < '9').  Scrub this field's stats so every old file
+            # stays reachable; fresh writes re-collect in the new domain.
+            fid = str(fld.id)
+            for entry in m["files"] + (m.get("deltas") or []):
+                st = entry.get("stats")
+                if st and fid in st:
+                    del st[fid]
+                    if not st:
+                        del entry["stats"]
+        self._write_manifest(m)
 
     # ------------------------------------------------------------------ #
     # read path
@@ -606,12 +625,6 @@ class LakeTable:
         from pyspark.sql import Observation
 
         self._assert_writable()  # before any data file lands (no orphans)
-        # a session built outside session.get_spark may still default to
-        # legacy INT96 timestamps, which carry no parquet statistics and
-        # would blind the per-file skipping — pin micros for lake writes
-        self.spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
         snap_dir = f"data/snap-{self.manifest['seq'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, snap_dir)
         obs = Observation(f"rows-{snap_dir}")
@@ -632,13 +645,23 @@ class LakeTable:
             # leading __bucket keeps whole buckets contiguous per task, so
             # partitionBy still writes one file per bucket per task
             shaped = shaped.sortWithinPartitions("__bucket", *sort_cols)
-        (
-            shaped.observe(obs, *bucket_aggs)
-            .write.option("maxRecordsPerFile", 5_000_000)
-            .partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(out)
-        )
+        # a session built outside session.get_spark may still default to
+        # legacy INT96 timestamps, which carry no parquet statistics and
+        # would blind the per-file skipping — pin micros for THIS write,
+        # restoring the caller's session conf afterwards
+        _ts_key = "spark.sql.parquet.outputTimestampType"
+        _prior_ts = self.spark.conf.get(_ts_key)
+        self.spark.conf.set(_ts_key, "TIMESTAMP_MICROS")
+        try:
+            (
+                shaped.observe(obs, *bucket_aggs)
+                .write.option("maxRecordsPerFile", 5_000_000)
+                .partitionBy("__bucket")
+                .mode("overwrite")
+                .parquet(out)
+            )
+        finally:
+            self.spark.conf.set(_ts_key, _prior_ts)
         try:
             observed = dict(obs.get)
         except Exception:  # zero-task write (empty frame): no metrics row
@@ -1392,12 +1415,31 @@ class LakeTable:
                 m = json.load(f)
             for entry in m["files"] + m.get("deltas", []):
                 live.add(entry["path"])
+        # files referenced by the manifests expiring THIS cycle are provably
+        # committed-then-superseded: safe to delete at any age
+        superseded: set[str] = set()
+        for mp in expired:
+            with open(mp) as f:
+                m = json.load(f)
+            for entry in m["files"] + m.get("deltas", []):
+                superseded.add(entry["path"])
         data_root = os.path.join(self.root, "data")
         files_removed = 0
         bytes_reclaimed = 0
+        data_cutoff = time.time() - min_age_s
         for p in glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(p, self.root)
             if rel not in live:
+                # min_age_s gates TRUE ORPHANS (referenced by no manifest at
+                # all): a young one may belong to a concurrent writer that
+                # has landed its snapshot dir but not yet won the manifest
+                # CAS — deleting it would corrupt that writer's commit
+                if (
+                    min_age_s > 0
+                    and rel not in superseded
+                    and os.path.getmtime(p) >= data_cutoff
+                ):
+                    continue
                 bytes_reclaimed += os.path.getsize(p)
                 os.remove(p)
                 files_removed += 1

@@ -8,6 +8,7 @@ skipping).  Every pruning test also asserts RESULT equality against the
 unpruned filter, so a pruning bug can only ever fail loudly."""
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -274,6 +275,110 @@ def test_bucket_prune_timestamp_key_correct(spark, tmp_root):
     assert t.read().filter("v = 'new'").count() == 1
     assert t.delete_where("ts = TIMESTAMP '2024-01-01 05:00:00'") == 1
     assert t.row_count() == 15
+
+
+def test_cross_type_literal_never_prunes_string_column(spark, tmp_root):
+    """Spark compares string-vs-numeric by NUMERIC coercion; a lexical
+    interval test on the stored string bounds would wrongly prune (e.g.
+    '10' > 9 is TRUE numerically, FALSE lexically).  Numeric literals on a
+    string column must build no test; string literals still prune."""
+    t = _mk(spark, tmp_root)
+    t.append(
+        spark.createDataFrame(
+            [("r1", "p", 1, 1, "10"), ("r2", "p", 1, 1, "9")],
+            "repo string, path string, day int, size long, content string",
+        )
+    )
+    got = [tuple(r) for r in t.scan("content > 9").collect()]
+    want = [tuple(r) for r in t.read().filter("content > 9").collect()]
+    assert sorted(got) == sorted(want) and len(got) == 1  # the '10' row
+    got = t.scan("content = 9").count()
+    assert got == t.read().filter("content = 9").count() == 1
+    # string literal on the string column: lexical both sides, prunes fine
+    assert t.scan("content = '10'").count() == 1
+
+
+def test_widen_to_string_scrubs_stale_stats(spark, tmp_root):
+    """int->string widening moves the column to LEXICAL comparison, where
+    the stored numeric bounds are meaningless ('11' < '9'); the widen must
+    scrub that field's stats so old files stay reachable."""
+    t = _mk(spark, tmp_root)
+    _append_days(spark, t, [9, 11])
+    fid = str(t.schema.field_by_name("day").id)
+    assert any(fid in (e.get("stats") or {}) for e in t.manifest["files"])
+    t.widen_type("day", "string")
+    assert all(fid not in (e.get("stats") or {}) for e in t.manifest["files"])
+    got = t.scan("day = '11'")
+    assert got.count() == 8
+    # same-domain widen keeps stats usable: size bigint stays pruned
+    assert len(t.scan("size >= 1100").inputFiles()) < len(t.manifest["files"])
+
+
+def test_date_column_timestamp_literal_boundary(spark, tmp_root):
+    """A non-midnight TIMESTAMP literal on a DATE column promotes the
+    COLUMN to timestamp in Spark (midnight instants), so `d < ts(05:00)`
+    must keep the boundary date's file."""
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "dts"),
+        [("k", "bigint"), ("d", "date")],
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    t.append(spark.range(4).selectExpr("id AS k", "date'2024-02-10' AS d"))
+    t.append(spark.range(10, 14).selectExpr("id AS k", "date'2024-03-05' AS d"))
+    for pred, n in (
+        ("d < TIMESTAMP '2024-02-10 05:00:00'", 4),   # boundary must match
+        ("d >= TIMESTAMP '2024-02-10 05:00:00'", 4),  # only the March file
+        ("d > TIMESTAMP '2024-03-05 00:00:00'", 0),
+        ("d <= TIMESTAMP '2024-03-04 23:00:00'", 4),
+        ("d = TIMESTAMP '2024-02-10 00:00:00'", 4),   # midnight: exact
+    ):
+        got = t.scan(pred)
+        want = t.read().filter(pred)
+        assert got.count() == want.count() == n, pred
+    # non-midnight comparisons still prune the provably-disjoint file
+    assert (
+        0
+        < len(t.scan("d >= TIMESTAMP '2024-02-11 05:00:00'").inputFiles())
+        < len(t.manifest["files"])
+    )
+
+
+def test_vacuum_grace_protects_young_orphans(spark, tmp_root):
+    """expire_snapshots must not delete a YOUNG unreferenced data file —
+    it may belong to a concurrent writer that has written its snap dir but
+    not yet won the manifest CAS.  min_age_s gates data files too."""
+    t = _mk(spark, tmp_root)
+    _append_days(spark, t, [1, 2])
+    orphan_dir = os.path.join(t.root, "data", "snap-99999999-deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-0.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not-yet-committed")
+    out = t.expire_snapshots(keep_last=1, min_age_s=3600)
+    assert os.path.exists(orphan), "young orphan must survive the grace period"
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    t.expire_snapshots(keep_last=1, min_age_s=3600)
+    assert not os.path.exists(orphan), "aged-out orphan is reclaimed"
+    assert out["manifests_removed"] >= 0
+
+
+def test_write_restores_session_timestamp_conf(spark, tmp_root):
+    """Lake writes pin TIMESTAMP_MICROS for their own files but must not
+    leave the session conf changed for unrelated writes."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "INT96")
+        t = _mk(spark, tmp_root)
+        _append_days(spark, t, [1])
+        assert spark.conf.get(key) == "INT96"
+        # ...and the lake file itself still carried stats (written as micros)
+        assert any(e.get("stats") for e in t.manifest["files"])
+    finally:
+        spark.conf.set(key, prior)
 
 
 def test_concurrent_commit_cas(spark, tmp_root):
