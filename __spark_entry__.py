@@ -1160,7 +1160,6 @@ def q_stats_pruned_scan(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    cut = F.lit("1997-09-01").cast("timestamp")
     with tempfile.TemporaryDirectory() as tmp:
         t = LakeTable.create(
             spark,

@@ -49,7 +49,9 @@ _F53 = 2**53
 
 # types whose stats we collect and can compare against literals
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
-_UTC_NAMES = {"", "utc", "etc/utc", "gmt", "z", "+00:00"}
+# an EMPTY/unknown session tz is deliberately NOT treated as UTC: timestamp
+# pruning must only engage when the tz is provably UTC
+_UTC_NAMES = {"utc", "etc/utc", "gmt", "z", "+00:00"}
 
 
 def _base_type(type_str: str) -> str:
@@ -316,6 +318,11 @@ class _Test:
             return nulls is None or nulls > 0
         if self.op == "isnotnull":
             return nulls is None or rows is None or nulls < rows
+        # value ops (eq/lt/...) need a NON-NULL value to match; a file whose
+        # column is entirely NULL (nulls == rows, including empty files)
+        # provably holds none, regardless of its (open) bounds
+        if nulls is not None and rows is not None and nulls >= rows:
+            return False
         # a None stored bound is OPEN (unknown) on that side, never a value
         ok_lo, lo = _norm(self.type_str, lo_raw) if lo_raw is not None else (False, None)
         ok_hi, hi = _norm(self.type_str, hi_raw) if hi_raw is not None else (False, None)
@@ -347,49 +354,79 @@ def _session_tz_is_utc(spark) -> bool:
     return (tz or "").strip().lower() in _UTC_NAMES
 
 
-def build_tests(spark, predicate: str, schema) -> list[_Test]:
-    """Parse ``predicate`` and extract interval tests from the understood
-    top-level conjuncts.  Unsupported shapes contribute nothing (sound)."""
+# --------------------------------------------------------------------- #
+# Shared Catalyst expression walk — the SINGLE parser both pruners use.
+# table.LakeTable._buckets_from_predicate (bucket pruning) and build_tests
+# below (stats pruning) consume the same predicate shapes; keeping one
+# walk means a new literal type or tz rule can't silently diverge between
+# bucket-level and file-level pruning.
+# --------------------------------------------------------------------- #
+def parse_expression(spark, predicate: str):
+    """``predicate`` → Catalyst expression tree (jvm object), or None when
+    it doesn't parse (callers then forgo pruning, which is always sound)."""
     try:
-        jexpr = (
+        return (
             spark._jsparkSession.sessionState().sqlParser().parseExpression(predicate)
         )
     except Exception:
-        return []
-
-    def kind(e) -> str:
-        return e.getClass().getSimpleName()
-
-    def conjuncts(e):
-        if kind(e) == "And":
-            yield from conjuncts(e.left())
-            yield from conjuncts(e.right())
-        else:
-            yield e
-
-    def attr_name(e) -> str | None:
-        if kind(e) == "UnresolvedAttribute" and e.nameParts().size() == 1:
-            return str(e.nameParts().apply(0))
         return None
 
-    def py_literal(e):
-        v = e.value()
-        if v is None:
-            return None
-        # Catalyst stores typed literals in internal form: TIMESTAMP as
-        # micros-since-epoch (UTC), DATE as days-since-epoch — decode them
-        # or every timestamp/date conjunct would fail _norm and be dropped
-        tname = str(e.dataType().typeName())
-        if tname.startswith("timestamp"):
-            return _dt.datetime(1970, 1, 1) + _dt.timedelta(
-                microseconds=int(str(v))
-            )
-        if tname == "date":
-            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v)))
-        if isinstance(v, (bool, int, float, str)):
-            return v
-        return str(v)
 
+def expr_kind(e) -> str:
+    return e.getClass().getSimpleName()
+
+
+def iter_conjuncts(e):
+    """Top-level AND-conjuncts of a Catalyst expression tree."""
+    if expr_kind(e) == "And":
+        yield from iter_conjuncts(e.left())
+        yield from iter_conjuncts(e.right())
+    else:
+        yield e
+
+
+def simple_attr_name(e) -> str | None:
+    """Bare single-part column reference (handles backticks), else None."""
+    if expr_kind(e) == "UnresolvedAttribute" and e.nameParts().size() == 1:
+        return str(e.nameParts().apply(0))
+    return None
+
+
+def literal_value(e):
+    """Catalyst Literal node → python value.
+
+    Catalyst stores typed literals in internal form: TIMESTAMP as
+    micros-since-epoch (UTC instant), DATE as days-since-epoch — decode
+    them or every timestamp/date conjunct would be dropped (stats pruner)
+    or hash a wrong bucket (bucket pruner).  Timestamp decodes assume the
+    session tz is UTC — callers must gate on :func:`_session_tz_is_utc`
+    before USING a datetime result (``isinstance(v, datetime)``)."""
+    v = e.value()
+    if v is None:
+        return None
+    tname = str(e.dataType().typeName())
+    if tname.startswith("timestamp"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(str(v)))
+    if tname == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v)))
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
+def build_tests(spark, predicate: str, schema) -> list[_Test]:
+    """Parse ``predicate`` and extract interval tests from the understood
+    top-level conjuncts.  Unsupported shapes contribute nothing (sound)."""
+    jexpr = parse_expression(spark, predicate)
+    if jexpr is None:
+        return []
+
+    kind, conjuncts, attr_name, py_literal = (
+        expr_kind,
+        iter_conjuncts,
+        simple_attr_name,
+        literal_value,
+    )
     ts_ok = _session_tz_is_utc(spark)
     by_lower = {f.name.lower(): f for f in schema.fields}
     _FLIP = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "eq": "eq"}

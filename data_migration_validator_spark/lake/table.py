@@ -37,8 +37,10 @@ import glob
 import json
 import os
 import re
+import threading
 import time
 import uuid
+from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -67,9 +69,38 @@ class ConcurrentCommitError(RuntimeError):
     manifest wins, so the retry re-applies the batch)."""
 
 
-class _UnprunableLiteral(Exception):
-    """Internal: a pinning literal cannot be decoded soundly — the caller
-    must fall back to a full (unpruned) scan."""
+_TS_PIN_KEY = "spark.sql.parquet.outputTimestampType"
+_TS_PIN_LOCK = threading.Lock()
+# id(SparkSession) -> [refcount, prior conf value]
+_TS_PIN_STATE: dict[int, list] = {}
+
+
+@contextmanager
+def _pin_micros_timestamps(spark: SparkSession):
+    """Hold ``outputTimestampType = TIMESTAMP_MICROS`` for the duration of a
+    write.  A session built outside session.get_spark may default to legacy
+    INT96 timestamps, which carry no parquet statistics and would blind the
+    per-file skipping.  The conf is session-global and Spark offers no
+    per-write option for it, so concurrent writers (which the CAS commit
+    protocol supports) share one REFCOUNTED pin: the first writer in saves
+    the caller's value and sets micros, the last writer out restores it —
+    no writer can yank the conf out from under another mid-write."""
+    sid = id(spark)
+    with _TS_PIN_LOCK:
+        st = _TS_PIN_STATE.get(sid)
+        if st is None:
+            st = _TS_PIN_STATE[sid] = [0, spark.conf.get(_TS_PIN_KEY)]
+            spark.conf.set(_TS_PIN_KEY, "TIMESTAMP_MICROS")
+        st[0] += 1
+    try:
+        yield
+    finally:
+        with _TS_PIN_LOCK:
+            st = _TS_PIN_STATE[sid]
+            st[0] -= 1
+            if st[0] == 0:
+                del _TS_PIN_STATE[sid]
+                spark.conf.set(_TS_PIN_KEY, st[1])
 
 
 def _should_broadcast(
@@ -365,17 +396,25 @@ class LakeTable:
         self._evolve(self.schema.add_column(name, type_str))
 
     def rename_column(self, old: str, new: str) -> None:
-        if old in self.key_cols or old == self.bucket_source:
-            # keep manifest key/bucket refs consistent through the rename
-            new_schema = self.schema.rename_column(old, new)
-            m = self._next_manifest(schema_id=int(self.manifest["schema_id"]) + 1)
-            m["schemas"][str(m["schema_id"])] = new_schema.to_json()
-            m["key_cols"] = [new if k == old else k for k in m["key_cols"]]
-            if m["partition"]["source"] == old:
-                m["partition"]["source"] = new
-            self._write_manifest(m)
-        else:
-            self._evolve(self.schema.rename_column(old, new))
+        # keep EVERY manifest reference to the column consistent through the
+        # rename: key/bucket refs, plus the write.sort.cols clustering list
+        # and an explicit write.stats.cols list — a stale name there would
+        # make every later write raise (unresolved sort column) or silently
+        # stop collecting stats for the column
+        new_schema = self.schema.rename_column(old, new)
+        m = self._next_manifest(schema_id=int(self.manifest["schema_id"]) + 1)
+        m["schemas"][str(m["schema_id"])] = new_schema.to_json()
+        m["key_cols"] = [new if k == old else k for k in m["key_cols"]]
+        if m["partition"]["source"] == old:
+            m["partition"]["source"] = new
+        for prop in ("write.sort.cols", "write.stats.cols"):
+            raw = m["properties"].get(prop)
+            if raw and raw != "auto":
+                cols = [c.strip() for c in raw.split(",") if c.strip()]
+                m["properties"][prop] = ",".join(
+                    new if c == old else c for c in cols
+                )
+        self._write_manifest(m)
 
     def widen_type(self, name: str, to: str) -> None:
         from .stats import same_comparison_domain
@@ -645,14 +684,7 @@ class LakeTable:
             # leading __bucket keeps whole buckets contiguous per task, so
             # partitionBy still writes one file per bucket per task
             shaped = shaped.sortWithinPartitions("__bucket", *sort_cols)
-        # a session built outside session.get_spark may still default to
-        # legacy INT96 timestamps, which carry no parquet statistics and
-        # would blind the per-file skipping — pin micros for THIS write,
-        # restoring the caller's session conf afterwards
-        _ts_key = "spark.sql.parquet.outputTimestampType"
-        _prior_ts = self.spark.conf.get(_ts_key)
-        self.spark.conf.set(_ts_key, "TIMESTAMP_MICROS")
-        try:
+        with _pin_micros_timestamps(self.spark):
             (
                 shaped.observe(obs, *bucket_aggs)
                 .write.option("maxRecordsPerFile", 5_000_000)
@@ -660,8 +692,6 @@ class LakeTable:
                 .mode("overwrite")
                 .parquet(out)
             )
-        finally:
-            self.spark.conf.set(_ts_key, _prior_ts)
         try:
             observed = dict(obs.get)
         except Exception:  # zero-task write (empty frame): no metrics row
@@ -1187,84 +1217,48 @@ class LakeTable:
         (``'x' = src``), parenthesized conjunctions, BETWEEN, and non-integer
         literals (a float literal is cast to the column type exactly, not
         string-truncated)."""
-        try:
-            jexpr = (
-                self.spark._jsparkSession.sessionState()
-                .sqlParser()
-                .parseExpression(predicate)
-            )
-        except Exception:
+        import datetime as _dt
+
+        from .stats import (
+            _session_tz_is_utc,
+            expr_kind as kind,
+            iter_conjuncts as conjuncts,
+            literal_value as py_literal,
+            parse_expression,
+            simple_attr_name as attr_name,
+        )
+
+        jexpr = parse_expression(self.spark, predicate)
+        if jexpr is None:
             return None
-
-        def kind(e) -> str:
-            return e.getClass().getSimpleName()
-
-        def conjuncts(e):
-            if kind(e) == "And":
-                yield from conjuncts(e.left())
-                yield from conjuncts(e.right())
-            else:
-                yield e
-
-        def attr_name(e) -> str | None:
-            if kind(e) == "UnresolvedAttribute" and e.nameParts().size() == 1:
-                return str(e.nameParts().apply(0))
-            return None
-
-        def py_literal(e):
-            """Literal node → python value (py4j converts primitives; Spark
-            internal types like UTF8String/Decimal round-trip via str).
-            TIMESTAMP/DATE literals arrive in Catalyst internal form
-            (micros/days since epoch) and MUST be decoded — casting the raw
-            long to timestamp would treat it as seconds and hash a wrong
-            bucket, silently missing rows."""
-            import datetime as _dt
-
-            v = e.value()
-            if v is None:
-                return None
-            tname = str(e.dataType().typeName())
-            if tname.startswith("timestamp"):
-                tz = self.spark.conf.get("spark.sql.session.timeZone", "")
-                if (tz or "").strip().lower() not in (
-                    "utc", "etc/utc", "gmt", "z", "+00:00",
-                ):
-                    # micros are UTC; re-encoding under another session tz
-                    # could hash a different bucket — forgo pruning
-                    raise _UnprunableLiteral()
-                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
-                    microseconds=int(str(v))
-                )
-            if tname == "date":
-                return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v)))
-            if isinstance(v, (bool, int, float, str)):
-                return v
-            return str(v)
 
         src_l = self.bucket_source.lower()
         pinned = None
-        try:
-            for c in conjuncts(jexpr):
-                k = kind(c)
-                if k in ("EqualTo", "EqualNullSafe"):
-                    left, right = c.left(), c.right()
-                    for a, b in ((left, right), (right, left)):
-                        name = attr_name(a)
-                        if name and name.lower() == src_l and kind(b) == "Literal":
-                            pinned = [py_literal(b)]
-                            break
-                elif k == "In":
-                    name = attr_name(c.value())
-                    if name and name.lower() == src_l:
-                        lst = c.list()
-                        items = [lst.apply(i) for i in range(lst.size())]
-                        if items and all(kind(i) == "Literal" for i in items):
-                            pinned = [py_literal(i) for i in items]
-                if pinned:
-                    break
-        except _UnprunableLiteral:
-            return None
+        for c in conjuncts(jexpr):
+            k = kind(c)
+            if k in ("EqualTo", "EqualNullSafe"):
+                left, right = c.left(), c.right()
+                for a, b in ((left, right), (right, left)):
+                    name = attr_name(a)
+                    if name and name.lower() == src_l and kind(b) == "Literal":
+                        pinned = [py_literal(b)]
+                        break
+            elif k == "In":
+                name = attr_name(c.value())
+                if name and name.lower() == src_l:
+                    lst = c.list()
+                    items = [lst.apply(i) for i in range(lst.size())]
+                    if items and all(kind(i) == "Literal" for i in items):
+                        pinned = [py_literal(i) for i in items]
+            if pinned:
+                break
         if not pinned:
+            return None
+        if any(isinstance(v, _dt.datetime) for v in pinned) and not (
+            _session_tz_is_utc(self.spark)
+        ):
+            # literal micros are a UTC instant; re-encoding under another
+            # session tz could hash a different bucket — forgo pruning
             return None
 
         fld = self.schema.field_by_name(self.bucket_source)

@@ -79,7 +79,11 @@ def global_row_number(
         h = F.pmod(
             F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(_HASH_MOD)
         )
-        sample = sample.where(h < int(frac * _HASH_MOD))
+        # max(1, ...): int() truncation would zero the threshold once
+        # n > target * _HASH_MOD (~6e9 rows at the defaults), silently
+        # collapsing every row into ONE window partition — the exact
+        # single-partition catastrophe this operator exists to avoid
+        sample = sample.where(h < max(1, int(frac * _HASH_MOD)))
     keys = sorted(
         {
             tuple(r[c] for c in order_cols)

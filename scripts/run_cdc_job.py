@@ -104,6 +104,8 @@ def main() -> None:
         ap.error("--count-deletes only applies to --mode batch")
     if args.view_root and not args.view_group:
         ap.error("--view-root requires --view-group")
+    if args.view_sums and not args.view_root:
+        ap.error("--view-sums requires --view-root")
     if args.demux_tables:
         demux_unsupported = {
             **stream_only, "--count-deletes": args.count_deletes,
@@ -187,6 +189,15 @@ def main() -> None:
         sums = [c.strip() for c in (args.view_sums or "").split(",") if c.strip()]
         if os.path.exists(os.path.join(args.view_root, "_ivm_state.json")):
             view = IncrementalAggView.load(spark, args.view_root, table)
+            # an existing view's definition is authoritative — silently
+            # maintaining a DIFFERENT grouping than the flags claim would
+            # misrepresent what the job did
+            if view.group_cols != group or (sums and view.sum_cols != sums):
+                ap.error(
+                    f"existing view at {args.view_root} was defined with "
+                    f"group={view.group_cols} sums={view.sum_cols}; "
+                    "rerun flags must match (or point at a new --view-root)"
+                )
         else:
             view = IncrementalAggView.create(
                 spark, args.view_root, table, group, sums

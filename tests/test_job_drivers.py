@@ -100,6 +100,25 @@ def test_cdc_job_with_incremental_view(spark, tmp_root):
     assert out2[-1]["batches_applied"] == 0
     assert out2[-1]["view"]["skipped"] is True
 
+    # --view-sums without --view-root is rejected up front (it used to be
+    # silently ignored), and rerunning an existing view with a DIFFERENT
+    # grouping than it was defined with is an error, not a silent override
+    env = dict(os.environ, PYTHONPATH=REPO)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_cdc_job.py"),
+         "--events-dir", events_dir, "--table-root", table_root,
+         "--view-sums", "size"],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert p.returncode != 0 and "--view-sums requires --view-root" in p.stderr
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_cdc_job.py"),
+         "--events-dir", events_dir, "--table-root", table_root,
+         "--view-root", view_root, "--view-group", "repo"],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert p.returncode != 0 and "must match" in p.stderr
+
 
 def test_validation_job_end_to_end(spark, tmp_root):
     data_dir = os.path.join(tmp_root, "data")

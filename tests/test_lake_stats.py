@@ -126,8 +126,15 @@ def test_null_bounds_and_null_tests(spark, tmp_root):
     assert nn.count() == 8 and len(nn.inputFiles()) < len(t.manifest["files"])
     isn = t.scan("day IS NULL")
     assert isn.count() == 2
-    # a value test against the all-null file: bounds are open, nulls prune it
-    assert t.scan("day = 5").count() == 8
+    # a value test against the all-null file: bounds are open, but
+    # nulls == rows proves no non-null value exists — the file is PRUNED,
+    # not merely filtered (assert on inputFiles, not just the row count)
+    eq = t.scan("day = 5")
+    assert eq.count() == 8
+    assert len(eq.inputFiles()) < len(t.manifest["files"])
+    rng = t.scan("day < 9")
+    assert rng.count() == 8
+    assert len(rng.inputFiles()) < len(t.manifest["files"])
 
 
 def test_rename_keeps_old_files_prunable(spark, tmp_root):
@@ -379,6 +386,56 @@ def test_write_restores_session_timestamp_conf(spark, tmp_root):
         assert any(e.get("stats") for e in t.manifest["files"])
     finally:
         spark.conf.set(key, prior)
+
+
+def test_ts_pin_refcounted_across_writers(spark):
+    """The micros pin is refcounted per session: an inner writer finishing
+    must NOT restore the caller conf while an outer write is still running
+    (the multi-writer race the CAS commit protocol otherwise invites)."""
+    from data_migration_validator_spark.lake.table import _pin_micros_timestamps
+
+    key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "INT96")
+        with _pin_micros_timestamps(spark):
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+            with _pin_micros_timestamps(spark):
+                assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+            # inner exit: outer pin still holds the conf
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        # last writer out restores the caller's value
+        assert spark.conf.get(key) == "INT96"
+    finally:
+        spark.conf.set(key, prior)
+
+
+def test_rename_patches_sort_and_stats_properties(spark, tmp_root):
+    """Renaming a write.sort.cols / write.stats.cols column must keep the
+    clustered-write layout and stats collection working (a stale name would
+    make every later write raise on an unresolved sort column)."""
+    t = _mk(
+        spark,
+        tmp_root,
+        properties={"write.sort.cols": "day", "write.stats.cols": "day,size"},
+    )
+    _append_days(spark, t, [1])
+    t.rename_column("day", "event_day")
+    assert t.manifest["properties"]["write.sort.cols"] == "event_day"
+    assert t.manifest["properties"]["write.stats.cols"] == "event_day,size"
+    # the next write sorts and collects stats under the new name
+    t.append(
+        spark.createDataFrame(
+            [(f"r{i}", "p2", 2, 200 + i, "x") for i in range(8)],
+            "repo string, path string, event_day int, size long, content string",
+        )
+    )
+    fid = t.schema.field_by_name("event_day").id
+    new_entries = [e for e in t.manifest["files"] if e["schema_id"] == t.manifest["schema_id"]]
+    assert new_entries and all(str(fid) in (e.get("stats") or {}) for e in new_entries)
+    got = t.scan("event_day = 2")
+    assert got.count() == 8
+    assert len(got.inputFiles()) < len(t.manifest["files"])
 
 
 def test_concurrent_commit_cas(spark, tmp_root):

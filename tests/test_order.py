@@ -90,3 +90,28 @@ def test_collision_and_edge_cases(spark):
 
     with pytest.raises(ValueError):
         global_row_number(df, [])
+
+
+def test_tiny_sample_fraction_never_zeroes_threshold(spark, monkeypatch):
+    """At 10^10-row scale int(frac * _HASH_MOD) truncates to 0, which would
+    sample NOTHING and collapse every row into one window partition.
+    Simulate by shrinking _HASH_MOD so frac * mod < 1 at test scale: the
+    max(1, ...) floor must keep the sample non-empty and the result exact."""
+    from data_migration_validator_spark.operators import order as order_mod
+
+    monkeypatch.setattr(order_mod, "_HASH_MOD", 2)
+    df = _df(spark, 4000)
+    # frac = 16*200/4000 = 0.8 -> int(0.8*2)=1 fine; force tiny frac instead
+    got_df = global_row_number(df, ["k"], num_slices=4, sample_per_slice=1)
+    # frac = 4/4000 = 0.001 -> int(0.001*2) == 0 without the floor
+    got = {(r["k"], r["row_num"]) for r in got_df.collect()}
+    want = {
+        (r["k"], r["row_num"])
+        for r in df.withColumn(
+            "row_num", F.row_number().over(Window.orderBy("k")).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+    # and the plan still slices (h < 1 keeps ~half the rows under mod 2)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__grn_sid" in plan
