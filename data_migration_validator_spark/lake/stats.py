@@ -35,6 +35,12 @@ Soundness notes:
 - Timestamp literals are compared only when the session timezone is UTC
   (the sandbox default); otherwise timestamp conjuncts are ignored.
 - Integer bounds beyond 2^53 skip float-literal comparison (mantissa).
+- Non-string literals against STRING columns never prune (Spark casts the
+  COLUMN out of its lexical domain — :func:`literal_in_column_domain`);
+  DECIMAL literals decode as Decimal so they can't masquerade as strings.
+- Literals python can't represent (timestamps past year 9999) raise
+  :class:`UndecodableLiteral`; the conjunct is dropped, never crashed on.
+- A file whose column is entirely NULL is pruned by any value test.
 """
 
 from __future__ import annotations
@@ -361,6 +367,12 @@ def _session_tz_is_utc(spark) -> bool:
 # walk means a new literal type or tz rule can't silently diverge between
 # bucket-level and file-level pruning.
 # --------------------------------------------------------------------- #
+class UndecodableLiteral(Exception):
+    """A Catalyst literal has no faithful python representation (e.g. a
+    timestamp beyond python's datetime range).  Callers must treat the
+    enclosing conjunct as unsupported and forgo pruning on it."""
+
+
 def parse_expression(spark, predicate: str):
     """``predicate`` → Catalyst expression tree (jvm object), or None when
     it doesn't parse (callers then forgo pruning, which is always sound)."""
@@ -400,18 +412,43 @@ def literal_value(e):
     them or every timestamp/date conjunct would be dropped (stats pruner)
     or hash a wrong bucket (bucket pruner).  Timestamp decodes assume the
     session tz is UTC — callers must gate on :func:`_session_tz_is_utc`
-    before USING a datetime result (``isinstance(v, datetime)``)."""
+    before USING a datetime result (``isinstance(v, datetime)``).
+
+    DECIMAL literals decode to :class:`~decimal.Decimal` (NOT str): a
+    fractional literal rendered as a string would masquerade as
+    string-domain-comparable and drive unsound lexical pruning against
+    string columns.  Raises :class:`UndecodableLiteral` for values python
+    can't represent (timestamps past ``datetime.max`` — Spark's range runs
+    to year 294276); callers drop the conjunct instead of crashing."""
     v = e.value()
     if v is None:
         return None
     tname = str(e.dataType().typeName())
-    if tname.startswith("timestamp"):
-        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(str(v)))
-    if tname == "date":
-        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v)))
+    try:
+        if tname.startswith("timestamp"):
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(str(v)))
+        if tname == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v)))
+        if tname.startswith("decimal"):
+            return Decimal(str(v))
+    except (OverflowError, ValueError, ArithmeticError) as exc:
+        raise UndecodableLiteral(str(exc)) from exc
     if isinstance(v, (bool, int, float, str)):
         return v
     return str(v)
+
+
+def literal_in_column_domain(type_str: str, lit) -> bool:
+    """False when Spark would coerce the COLUMN (not the literal) to
+    evaluate ``col op lit``.  A numeric/date/timestamp/decimal literal
+    against a STRING column makes Spark compare numerically ('10.0' = 10 is
+    true), so anything keyed to the column's stored lexical domain — string
+    min/max stats, the bucket hash of the stored string — would wrongly
+    prune.  The reverse (string literal on a typed column) casts the
+    LITERAL, which stays faithful."""
+    if _base_type(type_str) in ("string", "char", "varchar"):
+        return isinstance(lit, str)
+    return True
 
 
 def build_tests(spark, predicate: str, schema) -> list[_Test]:
@@ -421,12 +458,6 @@ def build_tests(spark, predicate: str, schema) -> list[_Test]:
     if jexpr is None:
         return []
 
-    kind, conjuncts, attr_name, py_literal = (
-        expr_kind,
-        iter_conjuncts,
-        simple_attr_name,
-        literal_value,
-    )
     ts_ok = _session_tz_is_utc(spark)
     by_lower = {f.name.lower(): f for f in schema.fields}
     _FLIP = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "eq": "eq"}
@@ -440,7 +471,7 @@ def build_tests(spark, predicate: str, schema) -> list[_Test]:
     }
 
     def field_for(e):
-        name = attr_name(e)
+        name = simple_attr_name(e)
         if name is None:
             return None
         fld = by_lower.get(name.lower())
@@ -449,18 +480,6 @@ def build_tests(spark, predicate: str, schema) -> list[_Test]:
         if _base_type(fld.type) == "timestamp" and not ts_ok:
             return None
         return fld
-
-    def lit_comparable(fld, lit) -> bool:
-        """False when Spark would NOT evaluate ``col op lit`` in the
-        column's own stats domain.  A numeric/date/timestamp literal on a
-        STRING column makes Spark coerce the COLUMN (numeric compare:
-        '10' > 9 is true), so a lexical interval test on the stored string
-        bounds would wrongly prune — drop the conjunct.  The reverse
-        (string literal on a typed column) casts the LITERAL, which _norm
-        reproduces."""
-        if _base_type(fld.type) in ("string", "char", "varchar"):
-            return isinstance(lit, str)
-        return True
 
     def date_vs_ts(op: str, ts: _dt.datetime):
         """``date_col op TIMESTAMP_LITERAL``: Spark promotes the COLUMN to
@@ -482,67 +501,75 @@ def build_tests(spark, predicate: str, schema) -> list[_Test]:
         return None
 
     tests: list[_Test] = []
-    for c in conjuncts(jexpr):
-        k = kind(c)
-        if k in _OPS:
-            op = _OPS[k]
-            for a, b, flip in ((c.left(), c.right(), False), (c.right(), c.left(), True)):
-                fld = field_for(a)
-                if fld is not None and kind(b) == "Literal":
-                    lit = py_literal(b)
-                    if lit is None:
-                        break  # NULL comparison: ignore conjunct (sound)
-                    if not lit_comparable(fld, lit):
+    for c in iter_conjuncts(jexpr):
+        try:
+            k = expr_kind(c)
+            if k in _OPS:
+                op = _OPS[k]
+                for a, b, flip in (
+                    (c.left(), c.right(), False),
+                    (c.right(), c.left(), True),
+                ):
+                    fld = field_for(a)
+                    if fld is not None and expr_kind(b) == "Literal":
+                        lit = literal_value(b)
+                        if lit is None:
+                            break  # NULL comparison: ignore conjunct (sound)
+                        if not literal_in_column_domain(fld.type, lit):
+                            break
+                        fin_op = _FLIP[op] if flip else op
+                        if _base_type(fld.type) == "date" and isinstance(
+                            lit, _dt.datetime
+                        ):
+                            rewritten = date_vs_ts(fin_op, lit)
+                            if rewritten is None:
+                                break
+                            fin_op, lit = rewritten
+                        ok, v = _norm(fld.type, lit)
+                        if ok:
+                            tests.append(_Test(fld.id, fld.type, fin_op, [v]))
                         break
-                    fin_op = _FLIP[op] if flip else op
+            elif k == "In":
+                fld = field_for(c.value())
+                if fld is None:
+                    continue
+                lst = c.list()
+                items = [lst.apply(i) for i in range(lst.size())]
+                if not items or not all(expr_kind(i) == "Literal" for i in items):
+                    continue
+                vals = []
+                sound = True
+                for i in items:
+                    lit = literal_value(i)
+                    if lit is None:
+                        continue  # NULL in IN-list matches nothing
+                    if not literal_in_column_domain(fld.type, lit):
+                        sound = False
+                        break
                     if _base_type(fld.type) == "date" and isinstance(
                         lit, _dt.datetime
                     ):
-                        rewritten = date_vs_ts(fin_op, lit)
+                        rewritten = date_vs_ts("eq", lit)
                         if rewritten is None:
-                            break
-                        fin_op, lit = rewritten
+                            continue  # non-midnight ts: equals no date, drop value
+                        lit = rewritten[1]
                     ok, v = _norm(fld.type, lit)
-                    if ok:
-                        tests.append(_Test(fld.id, fld.type, fin_op, [v]))
-                    break
-        elif k == "In":
-            fld = field_for(c.value())
-            if fld is None:
-                continue
-            lst = c.list()
-            items = [lst.apply(i) for i in range(lst.size())]
-            if not items or not all(kind(i) == "Literal" for i in items):
-                continue
-            vals = []
-            sound = True
-            for i in items:
-                lit = py_literal(i)
-                if lit is None:
-                    continue  # NULL in IN-list matches nothing
-                if not lit_comparable(fld, lit):
-                    sound = False
-                    break
-                if _base_type(fld.type) == "date" and isinstance(lit, _dt.datetime):
-                    rewritten = date_vs_ts("eq", lit)
-                    if rewritten is None:
-                        continue  # non-midnight ts: equals no date, drop value
-                    lit = rewritten[1]
-                ok, v = _norm(fld.type, lit)
-                if not ok:
-                    sound = False
-                    break
-                vals.append(v)
-            if sound and vals:
-                tests.append(_Test(fld.id, fld.type, "eq", vals))
-        elif k == "IsNull":
-            fld = field_for(c.child())
-            if fld is not None:
-                tests.append(_Test(fld.id, fld.type, "isnull", []))
-        elif k == "IsNotNull":
-            fld = field_for(c.child())
-            if fld is not None:
-                tests.append(_Test(fld.id, fld.type, "isnotnull", []))
+                    if not ok:
+                        sound = False
+                        break
+                    vals.append(v)
+                if sound and vals:
+                    tests.append(_Test(fld.id, fld.type, "eq", vals))
+            elif k == "IsNull":
+                fld = field_for(c.child())
+                if fld is not None:
+                    tests.append(_Test(fld.id, fld.type, "isnull", []))
+            elif k == "IsNotNull":
+                fld = field_for(c.child())
+                if fld is not None:
+                    tests.append(_Test(fld.id, fld.type, "isnotnull", []))
+        except UndecodableLiteral:
+            continue  # conjunct unsupported: forgo its pruning (sound)
     return tests
 
 

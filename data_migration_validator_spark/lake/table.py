@@ -85,7 +85,14 @@ def _pin_micros_timestamps(spark: SparkSession):
     protocol supports) share one REFCOUNTED pin: the first writer in saves
     the caller's value and sets micros, the last writer out restores it —
     no writer can yank the conf out from under another mid-write."""
-    sid = id(spark)
+    try:
+        # key on the JVM session's identity, not the python wrapper's —
+        # two wrappers of one JVM session share one conf and must share
+        # one pin (identityHashCode collisions across distinct sessions
+        # are vanishingly rare and only risk a harmless shared refcount)
+        sid = int(spark._jvm.System.identityHashCode(spark._jsparkSession))
+    except Exception:
+        sid = id(spark)
     with _TS_PIN_LOCK:
         st = _TS_PIN_STATE.get(sid)
         if st is None:
@@ -1220,9 +1227,11 @@ class LakeTable:
         import datetime as _dt
 
         from .stats import (
+            UndecodableLiteral,
             _session_tz_is_utc,
             expr_kind as kind,
             iter_conjuncts as conjuncts,
+            literal_in_column_domain,
             literal_value as py_literal,
             parse_expression,
             simple_attr_name as attr_name,
@@ -1234,24 +1243,27 @@ class LakeTable:
 
         src_l = self.bucket_source.lower()
         pinned = None
-        for c in conjuncts(jexpr):
-            k = kind(c)
-            if k in ("EqualTo", "EqualNullSafe"):
-                left, right = c.left(), c.right()
-                for a, b in ((left, right), (right, left)):
-                    name = attr_name(a)
-                    if name and name.lower() == src_l and kind(b) == "Literal":
-                        pinned = [py_literal(b)]
-                        break
-            elif k == "In":
-                name = attr_name(c.value())
-                if name and name.lower() == src_l:
-                    lst = c.list()
-                    items = [lst.apply(i) for i in range(lst.size())]
-                    if items and all(kind(i) == "Literal" for i in items):
-                        pinned = [py_literal(i) for i in items]
-            if pinned:
-                break
+        try:
+            for c in conjuncts(jexpr):
+                k = kind(c)
+                if k in ("EqualTo", "EqualNullSafe"):
+                    left, right = c.left(), c.right()
+                    for a, b in ((left, right), (right, left)):
+                        name = attr_name(a)
+                        if name and name.lower() == src_l and kind(b) == "Literal":
+                            pinned = [py_literal(b)]
+                            break
+                elif k == "In":
+                    name = attr_name(c.value())
+                    if name and name.lower() == src_l:
+                        lst = c.list()
+                        items = [lst.apply(i) for i in range(lst.size())]
+                        if items and all(kind(i) == "Literal" for i in items):
+                            pinned = [py_literal(i) for i in items]
+                if pinned:
+                    break
+        except UndecodableLiteral:
+            return None
         if not pinned:
             return None
         if any(isinstance(v, _dt.datetime) for v in pinned) and not (
@@ -1259,6 +1271,15 @@ class LakeTable:
         ):
             # literal micros are a UTC instant; re-encoding under another
             # session tz could hash a different bucket — forgo pruning
+            return None
+
+        fld0 = self.schema.field_by_name(self.bucket_source)
+        if fld0 is not None and not all(
+            literal_in_column_domain(fld0.type, v) for v in pinned
+        ):
+            # e.g. ``repo = 10`` on a string bucket column: Spark compares
+            # numerically, so '10.0' matches yet hashes to a different
+            # bucket than lit(10) — pruning here would silently miss rows
             return None
 
         fld = self.schema.field_by_name(self.bucket_source)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from pyspark.sql import SparkSession
 
@@ -106,6 +107,28 @@ def main() -> None:
         ap.error("--view-root requires --view-group")
     if args.view_sums and not args.view_root:
         ap.error("--view-sums requires --view-root")
+    if args.view_root:
+        # validate against an existing view's stored definition BEFORE any
+        # replay runs — rejecting after batches were applied would leave a
+        # "failed" run that silently advanced the table
+        state_path = os.path.join(args.view_root, "_ivm_state.json")
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                st = json.load(fh)
+            want_group = [c.strip() for c in args.view_group.split(",") if c.strip()]
+            want_sums = [
+                c.strip() for c in (args.view_sums or "").split(",") if c.strip()
+            ]
+            have_group = st.get("group_cols")
+            have_sums = st.get("sum_cols")
+            if (have_group is not None and have_group != want_group) or (
+                want_sums and have_sums is not None and have_sums != want_sums
+            ):
+                ap.error(
+                    f"existing view at {args.view_root} was defined with "
+                    f"group={have_group} sums={have_sums}; rerun flags "
+                    "must match (or point at a new --view-root)"
+                )
     if args.demux_tables:
         demux_unsupported = {
             **stream_only, "--count-deletes": args.count_deletes,
@@ -181,23 +204,13 @@ def main() -> None:
     if quarantine is not None:
         stats["rows_quarantined"] = quarantine.row_count()
     if args.view_root:
-        import os
-
         from data_migration_validator_spark.lake.ivm import IncrementalAggView
 
         group = [c.strip() for c in args.view_group.split(",") if c.strip()]
         sums = [c.strip() for c in (args.view_sums or "").split(",") if c.strip()]
         if os.path.exists(os.path.join(args.view_root, "_ivm_state.json")):
+            # definition mismatch was already rejected up front, pre-replay
             view = IncrementalAggView.load(spark, args.view_root, table)
-            # an existing view's definition is authoritative — silently
-            # maintaining a DIFFERENT grouping than the flags claim would
-            # misrepresent what the job did
-            if view.group_cols != group or (sums and view.sum_cols != sums):
-                ap.error(
-                    f"existing view at {args.view_root} was defined with "
-                    f"group={view.group_cols} sums={view.sum_cols}; "
-                    "rerun flags must match (or point at a new --view-root)"
-                )
         else:
             view = IncrementalAggView.create(
                 spark, args.view_root, table, group, sums
@@ -209,8 +222,6 @@ def main() -> None:
 def _run_demux(spark, args) -> None:
     """Multi-table mode: the events dir carries a mixed stream; each named
     table gets its own lake root, lineage table, and commit log."""
-    import os
-
     from data_migration_validator_spark.cdc.demux import demux_replay
     from data_migration_validator_spark.streaming.stream import start_demux_stream
 

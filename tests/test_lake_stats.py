@@ -305,6 +305,83 @@ def test_cross_type_literal_never_prunes_string_column(spark, tmp_root):
     assert t.scan("content = '10'").count() == 1
 
 
+def test_decimal_literal_never_prunes_string_column(spark, tmp_root):
+    """A fractional literal parses as DECIMAL; decoding it to str would
+    masquerade as string-domain-comparable and lexically prune the file
+    holding '1.50' (which MATCHES ``content = 1.5`` under Spark's numeric
+    coercion).  Decimal literals must decode as Decimal and be dropped by
+    the string-domain guard in BOTH pruners."""
+    t = _mk(spark, tmp_root)
+    t.append(
+        spark.createDataFrame(
+            [("r1", "p", 1, 1, "1.50"), ("r2", "p", 1, 1, "2.75")],
+            "repo string, path string, day int, size long, content string",
+        )
+    )
+    got = [tuple(r) for r in t.scan("content = 1.5").collect()]
+    want = [tuple(r) for r in t.read().filter("content = 1.5").collect()]
+    assert sorted(got) == sorted(want) and len(got) == 1  # the '1.50' row
+    # decimal literal on a NUMERIC column still prunes exactly
+    rng = t.scan("size <= 1.0")
+    assert rng.count() == 2
+
+
+def test_numeric_literal_never_bucket_prunes_string_key(spark, tmp_root):
+    """``repo = 10`` casts the STRING bucket column to bigint (ANSI), so
+    rows '10' and ' 10' both match yet hash to different buckets — the
+    bucket pruner must forgo pruning (scan/update/delete would otherwise
+    silently miss rows outside lit('10')'s bucket)."""
+    t = _mk(spark, tmp_root, num_buckets=8)
+    rows = [("10", "p", 1, 1, "x"), (" 10", "p", 1, 1, "x"), ("9", "p", 1, 1, "x")]
+    t.append(
+        spark.createDataFrame(
+            rows,
+            "repo string, path string, day int, size long, content string",
+        )
+    )
+    assert t._buckets_from_predicate("repo = 10") is None
+    got = sorted(r["repo"] for r in t.scan("repo = 10").collect())
+    want = sorted(r["repo"] for r in t.read().filter("repo = 10").collect())
+    assert got == want and len(got) == 2  # '10' and ' 10'
+    n = t.update_where("repo = 10", {"content": "'seen'"})
+    assert n == 2
+    # a string literal still prunes (exact domain)
+    assert t._buckets_from_predicate("repo = '10'") is not None
+
+
+def test_out_of_range_timestamp_literal_degrades_gracefully(spark, tmp_root):
+    """Spark timestamps run to year 294276; python's datetime stops at
+    9999.  A max-sentinel literal must not crash scan/update — the conjunct
+    is dropped and the scan runs unpruned."""
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "bigts"),
+        [("k", "bigint"), ("ts", "timestamp")],
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    t.append(
+        spark.range(5).selectExpr(
+            "id AS k", "timestamp'2024-01-10 00:00:00' AS ts"
+        )
+    )
+    got = t.scan("ts < TIMESTAMP '10000-01-01 00:00:00'")
+    assert got.count() == 5
+    # pinning the BUCKET column with an overflow literal must also degrade
+    t2 = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "bigts2"),
+        [("ts", "timestamp"), ("v", "string")],
+        key_cols=["ts"],
+        num_buckets=2,
+    )
+    t2.append(
+        spark.sql("SELECT timestamp'2024-01-01 00:00:00' AS ts, 'a' AS v")
+    )
+    assert t2._buckets_from_predicate("ts = TIMESTAMP '10000-01-01 00:00:00'") is None
+    assert t2.scan("ts = TIMESTAMP '10000-01-01 00:00:00'").count() == 0
+
+
 def test_widen_to_string_scrubs_stale_stats(spark, tmp_root):
     """int->string widening moves the column to LEXICAL comparison, where
     the stored numeric bounds are meaningless ('11' < '9'); the widen must
