@@ -478,6 +478,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_bucket: bool = False,
         stats_predicate: str | None = None,
+        file_subset: frozenset | set | None = None,
     ) -> DataFrame:
         """Current-schema DataFrame over the live table state.
 
@@ -505,9 +506,13 @@ class LakeTable:
         the base row was scanned; base rows without deltas that were
         skipped provably fail the predicate, so the caller's filter would
         drop them anyway.
+
+        ``file_subset``: restrict the BASE scan to these manifest paths
+        (MERGE file pruning passes the candidate set); deltas are never
+        restricted by it.
         """
         cur = self.schema
-        base = self._read_base(cur, buckets, stats_predicate)
+        base = self._read_base(cur, buckets, stats_predicate, file_subset)
         deltas = self.manifest.get("deltas", [])
         if buckets is not None:
             bset = set(buckets)
@@ -522,12 +527,15 @@ class LakeTable:
         cur: TableSchema,
         buckets: list[int] | None,
         stats_predicate: str | None = None,
+        file_subset: frozenset | set | None = None,
     ) -> DataFrame:
         """Plain scan of the base files projected to the current schema."""
         files = self.manifest["files"]
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if file_subset is not None:
+            files = [f for f in files if f["path"] in file_subset]
         if stats_predicate and files:
             # field-id-keyed min/max interval tests; stats written under an
             # older schema stay valid because ids survive renames and the
@@ -878,6 +886,102 @@ class LakeTable:
             json.dump({"batch_id": batch_id, "seq": seq, **stats}, f)
         os.replace(tmp, p)
 
+    # key types the MERGE file-prune probe supports: same-type range
+    # comparisons with no coercion traps (char padding, session-tz
+    # timestamps, NaN floats are excluded on purpose — those buckets just
+    # rewrite whole, which is always correct)
+    _PRUNE_KEY_TYPES = frozenset(
+        {"tinyint", "smallint", "int", "bigint", "string", "varchar",
+         "date", "decimal"}
+    )
+
+    def _merge_candidate_files(
+        self, changes: DataFrame, touched: list[int]
+    ) -> tuple[set, list[dict], dict[int, int]] | None:
+        """MERGE file pruning (Hudi bloom-index / Iceberg merge-on-read
+        file-scoping analog, done with the per-file min/max key stats the
+        manifest already carries): decide which BASE files in the touched
+        buckets can possibly contain a change key.
+
+        Returns ``(candidate_paths, clean_entries, clean_rows_per_bucket)``
+        or ``None`` when pruning is not applicable (no stats, unsupported
+        key type, property off).  Soundness: a file is "clean" (kept as-is,
+        never read or rewritten) only if its key interval provably excludes
+        EVERY change key — probed with a broadcast hash join on bucket with
+        the range test as residual, so the probe is one map-side pass over
+        the cached change-set, no shuffle.  Conservative fallbacks: a file
+        with missing/undecodable key bounds, a bucket carrying live MOR
+        deltas (their keys are not in the probe), or an open upper bound
+        hit → candidate.  NULL keys never join-match in MERGE's anti/semi
+        joins, so bounds that ignore nulls stay sound.
+
+        At 10^10-row scale this turns COW write amplification from
+        O(touched buckets) into O(files whose key range the batch actually
+        intersects) — for the classic CDC shape (monotone keys, updates
+        skewed recent) that is the newest files only.
+        """
+        from .stats import _base_type, _norm
+
+        if self.manifest["properties"].get(
+            "write.merge.prune_files", "true"
+        ).lower() != "true":
+            return None
+        key = self.key_cols[0]
+        fld = self.schema.field_by_name(key)
+        if fld is None or _base_type(fld.type) not in self._PRUNE_KEY_TYPES:
+            return None
+        fid = str(fld.id)
+        tset = set(touched)
+        delta_buckets = {
+            e["bucket"] for e in self.manifest.get("deltas", [])
+            if e["bucket"] in tset
+        }
+        probe_rows, candidates = [], set()
+        prunable: dict[str, dict] = {}
+        for f in self.manifest["files"]:
+            if f["bucket"] not in tset:
+                continue
+            st = (f.get("stats") or {}).get(fid)
+            if f["bucket"] in delta_buckets or not st or st[0] is None:
+                candidates.add(f["path"])
+                continue
+            lo_ok, lo = _norm(fld.type, st[0])
+            hi_ok, hi = (True, None) if st[1] is None else _norm(fld.type, st[1])
+            rows = st[3] if len(st) > 3 else None
+            if not lo_ok or not hi_ok or rows is None:
+                candidates.add(f["path"])
+                continue
+            probe_rows.append((f["path"], int(f["bucket"]), lo, hi, hi is None))
+            prunable[f["path"]] = f
+        if not probe_rows:
+            # nothing prunable: skip the probe action entirely
+            return (candidates, [], {}) if candidates else None
+        kt = "string" if _base_type(fld.type) == "varchar" else fld.type
+        files_df = self.spark.createDataFrame(
+            probe_rows,
+            schema=f"__path string, __fb int, __lo {kt}, __hi {kt}, __open boolean",
+        )
+        hits = (
+            changes.select(F.col(key).alias("__k"), F.col("__bucket"))
+            .join(
+                F.broadcast(files_df),
+                (F.col("__bucket") == F.col("__fb"))
+                & (F.col("__k") >= F.col("__lo"))
+                & (F.col("__open") | (F.col("__k") <= F.col("__hi"))),
+                "inner",
+            )
+            .select("__path")
+            .distinct()
+            .collect()
+        )
+        candidates.update(r["__path"] for r in hits)
+        clean = [f for p, f in prunable.items() if p not in candidates]
+        clean_rows: dict[int, int] = {}
+        for f in clean:
+            b = int(f["bucket"])
+            clean_rows[b] = clean_rows.get(b, 0) + int(f["stats"][fid][3])
+        return candidates, clean, clean_rows
+
     def merge(
         self,
         changes: DataFrame,
@@ -910,7 +1014,12 @@ class LakeTable:
 
         Plan shape (the one you'd want at 100 TB):
           1. touched buckets  ← distinct bucket of changes (tiny collect).
-          2. existing         ← file-pruned scan of ONLY those buckets.
+          2. existing         ← file-pruned scan of ONLY those buckets;
+             within them, files whose per-file key min/max provably exclude
+             every change key are KEPT in the manifest unread+unrewritten
+             (:meth:`_merge_candidate_files` — the Hudi-bloom-index move,
+             done with the stats the manifest already carries; disable per
+             table with ``write.merge.prune_files=false``).
           3. survivors        ← existing LEFT ANTI join with the change keys.
              The key set is broadcast only when the change-set is small
              (``broadcast_max_rows``, decided from the SAME aggregation that
@@ -973,7 +1082,23 @@ class LakeTable:
                 f["bucket"] in tset_probe
                 for f in self.manifest["files"] + self.manifest.get("deltas", [])
             )
-            existing = self.read(buckets=touched)
+            clean_entries: list[dict] = []
+            clean_rows: dict[int, int] = {}
+            prune = (
+                self._merge_candidate_files(changes, touched)
+                if touched_has_files
+                else None
+            )
+            if prune is None:
+                existing = self.read(buckets=touched)
+            else:
+                candidates, clean_entries, clean_rows = prune
+                # clean files provably hold no change key: keep them in the
+                # manifest untouched; scan + anti-join + rewrite run over
+                # candidate files (and any live deltas) only
+                existing = self.read(
+                    buckets=touched, file_subset=frozenset(candidates)
+                )
             if touched_has_files:
                 change_keys = changes.select(*keys)
                 n_changes = rows_upserted + deletes_requested
@@ -1010,9 +1135,14 @@ class LakeTable:
             changes.unpersist()
 
         touched_set = set(touched)
+        n_touched_files = sum(
+            1 for f in self.manifest["files"] if f["bucket"] in touched_set
+        )
+        for b, n in clean_rows.items():  # kept files' rows re-enter the count
+            bucket_rows[b] = bucket_rows.get(b, 0) + n
         kept = [f for f in self.manifest["files"] if f["bucket"] not in touched_set]
         m = self._next_manifest(
-            files=kept + entries,
+            files=kept + clean_entries + entries,
             # the rewrite read a MOR-resolved ``existing``: any deltas on the
             # touched buckets are folded into ``entries`` and must go.
             deltas=[
@@ -1031,6 +1161,8 @@ class LakeTable:
             "rows_upserted": rows_upserted,
             "rows_delete_requested": deletes_requested,
             "touched_buckets": sorted(touched),
+            "files_kept": len(clean_entries),
+            "files_rewritten": n_touched_files - len(clean_entries),
             "seq": m["seq"],
         }
         if count_deletes:
