@@ -190,7 +190,15 @@ def _file_stats(path: str, want: dict[str, tuple[int, str]]) -> dict | None:
                     continue
                 ok = False
                 break
-            mn, mx = _enc(st.min), _enc(st.max)
+            try:
+                # Arrow raises (not returns None) for types it cannot
+                # decode stats for — e.g. ArrowNotImplementedError on
+                # INT64-backed decimals. Degrade to "no stats", never fail
+                # the commit task.
+                mn, mx = _enc(st.min), _enc(st.max)
+            except Exception:
+                ok = False
+                break
             if mn is None or mx is None:
                 ok = False
                 break

@@ -889,10 +889,12 @@ class LakeTable:
     # key types the MERGE file-prune probe supports: same-type range
     # comparisons with no coercion traps (char padding, session-tz
     # timestamps, NaN floats are excluded on purpose — those buckets just
-    # rewrite whole, which is always correct)
+    # rewrite whole, which is always correct; decimal is out because Arrow
+    # cannot extract footer stats for Spark's INT64/FLBA-backed decimals,
+    # so decimal keys never have bounds to probe)
     _PRUNE_KEY_TYPES = frozenset(
         {"tinyint", "smallint", "int", "bigint", "string", "varchar",
-         "date", "decimal"}
+         "date"}
     )
 
     def _merge_candidate_files(
@@ -908,8 +910,10 @@ class LakeTable:
         key type, property off).  Soundness: a file is "clean" (kept as-is,
         never read or rewritten) only if its key interval provably excludes
         EVERY change key — probed with a broadcast hash join on bucket with
-        the range test as residual, so the probe is one map-side pass over
-        the cached change-set, no shuffle.  Conservative fallbacks: a file
+        the range test as residual: one map-side pass over the cached
+        change-set, then a tiny exchange to distinct the matched path set
+        (bounded by file count, not row count) before the collect.
+        Conservative fallbacks: a file
         with missing/undecodable key bounds, a bucket carrying live MOR
         deltas (their keys are not in the probe), or an open upper bound
         hit → candidate.  NULL keys never join-match in MERGE's anti/semi
@@ -1038,7 +1042,11 @@ class LakeTable:
         ``bucket_stats``: optional precomputed per-bucket
         ``{__bucket, n_up, n_del}`` rows (e.g. from ``cdc.apply_batch``'s
         fused per-batch stats job).  When given, the discovery aggregation
-        is skipped — the write becomes this call's only Spark action.
+        is skipped.  The write is then this call's only Spark action except
+        for the MERGE file-prune probe (one tiny broadcast-join job per COW
+        merge when the touched buckets carry key stats); set
+        ``write.merge.prune_files=false`` on the table to restore the
+        strict one-action path.
         """
         if batch_id is not None and self.has_batch(batch_id):
             return {"skipped": True, "batch_id": batch_id}

@@ -205,3 +205,34 @@ def test_pruned_merge_change_feed_still_consistent(spark, tmp_root):
     assert by_type.get("insert", 0) == 3
     assert by_type.get("delete", 0) == 5
     assert by_type.get("update_postimage", by_type.get("update", 0)) == 10
+
+
+def test_decimal_column_stats_degrade_not_crash(spark, tmp_root):
+    """Arrow raises ArrowNotImplementedError extracting footer stats for
+    INT64-backed decimals; the commit must degrade that column to
+    no-stats (prune falls back to rewrite) instead of failing the task."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "dec"),
+        [("id", "bigint"), ("amt", "decimal(10,2)")],
+        key_cols=["id"], num_buckets=2,
+        properties={"write.sort.cols": "id"},
+    )
+    rows = spark.range(200).select(
+        F.col("id"), (F.col("id") / F.lit(3)).cast("decimal(10,2)").alias("amt")
+    )
+    t.append(rows)  # must not raise
+    assert t.read().count() == 200
+    # id (bigint) stats survive even though amt's are degraded
+    id_fid = str(t.schema.field_by_name("id").id)
+    assert all(id_fid in (e.get("stats") or {}) for e in t.manifest["files"])
+    ch = (
+        spark.range(500, 510)
+        .select(
+            F.col("id"),
+            F.lit("1.00").cast("decimal(10,2)").alias("amt"),
+            F.lit("upsert").alias("op"),
+        )
+    )
+    st = t.merge(ch, broadcast_changes=True)
+    assert st["files_kept"] > 0  # bigint-key prune still works
+    assert t.read().count() == 210
