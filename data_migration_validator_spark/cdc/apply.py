@@ -319,6 +319,7 @@ def apply_batch(
         #    fixed driver/planning cost that no executor count can shrink —
         #    exactly the serial term the N→4N scaling gate punishes.  This
         #    action also populates the ``deduped`` cache for the write.
+        k_type = deduped.schema[ev_keys[0]].dataType
         bucket_stats_df = (
             deduped.withColumn(
                 "__bucket",
@@ -332,10 +333,17 @@ def apply_batch(
                 F.max("event_seq").alias("last_event_seq"),
                 F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("n_up"),
                 F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_del"),
+                # per-bucket change-key range: the free tier of the MERGE
+                # file prune rides this same shuffle (values are unchanged
+                # by the projection/rename below, so event-name min/max ==
+                # table-key min/max)
+                F.min(ev_keys[0]).alias("k_lo"),
+                F.max(ev_keys[0]).alias("k_hi"),
             )
             .select(
                 F.lit("stats").alias("kind"),
                 "__bucket", "first_event_seq", "last_event_seq", "n_up", "n_del",
+                "k_lo", "k_hi",
                 F.lit(None).cast("string").alias("schema_change"),
             )
         )
@@ -346,6 +354,8 @@ def apply_batch(
             F.lit(None).cast("long").alias("last_event_seq"),
             F.lit(None).cast("long").alias("n_up"),
             F.lit(None).cast("long").alias("n_del"),
+            F.lit(None).cast(k_type).alias("k_lo"),
+            F.lit(None).cast(k_type).alias("k_hi"),
             "schema_change",
         )
         combined_df = bucket_stats_df.unionByName(schema_df)
@@ -362,6 +372,8 @@ def apply_batch(
                     F.lit(None).cast("long").alias("last_event_seq"),
                     "n_up",
                     F.lit(None).cast("long").alias("n_del"),
+                    F.lit(None).cast(k_type).alias("k_lo"),
+                    F.lit(None).cast(k_type).alias("k_hi"),
                     F.lit(None).cast("string").alias("schema_change"),
                 )
             )
@@ -403,7 +415,13 @@ def apply_batch(
             batch_id=batch_id,
             count_deletes=count_deletes,
             bucket_stats=[
-                {"__bucket": r["__bucket"], "n_up": r["n_up"], "n_del": r["n_del"]}
+                {
+                    "__bucket": r["__bucket"],
+                    "n_up": r["n_up"],
+                    "n_del": r["n_del"],
+                    "k_lo": r["k_lo"],
+                    "k_hi": r["k_hi"],
+                }
                 for r in bucket_stats
             ],
         )

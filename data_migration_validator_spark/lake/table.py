@@ -898,31 +898,53 @@ class LakeTable:
     )
 
     def _merge_candidate_files(
-        self, changes: DataFrame, touched: list[int]
+        self,
+        changes: DataFrame,
+        touched: list[int],
+        key_ranges: dict[int, tuple] | None = None,
+        n_changes: int | None = None,
+        broadcast_max_rows: int = 500_000,
     ) -> tuple[set, list[dict], dict[int, int]] | None:
         """MERGE file pruning (Hudi bloom-index / Iceberg merge-on-read
-        file-scoping analog, done with the per-file min/max key stats the
+        file-scoping analog, done with the per-file key min/max stats the
         manifest already carries): decide which BASE files in the touched
-        buckets can possibly contain a change key.
+        buckets can possibly contain a change key.  Two tiers:
+
+        1. FREE range test — ``key_ranges`` maps bucket → (min, max) change
+           key, computed inside the SAME discovery aggregation that finds
+           the touched buckets (zero extra Spark actions); a file whose key
+           interval is disjoint from its bucket's change-key range is clean.
+           This is the tier that carries the classic CDC shape (monotone
+           keys, updates skewed recent → only the newest files intersect).
+        2. Per-key probe — a broadcast hash join of the cached change-set
+           against the files tier 1 left standing (map-side pass + a tiny
+           exchange to distinct the matched path set, bounded by file count).
+           It adds one Spark job per merge, so it runs only when the
+           change-set is small (``n_changes ≤ broadcast_max_rows`` — the
+           same smallness gate the anti-join broadcast uses) or when the
+           table property ``write.merge.prune.probe`` is ``always``
+           (``never`` disables it; default ``auto``).  A big uniform batch
+           intersects almost every file anyway — the probe would be a pure
+           extra job — while a small batch is exactly where per-key bounds
+           beat the bucket-range test.
 
         Returns ``(candidate_paths, clean_entries, clean_rows_per_bucket)``
         or ``None`` when pruning is not applicable (no stats, unsupported
         key type, property off).  Soundness: a file is "clean" (kept as-is,
         never read or rewritten) only if its key interval provably excludes
-        EVERY change key — probed with a broadcast hash join on bucket with
-        the range test as residual: one map-side pass over the cached
-        change-set, then a tiny exchange to distinct the matched path set
-        (bounded by file count, not row count) before the collect.
-        Conservative fallbacks: a file
-        with missing/undecodable key bounds, a bucket carrying live MOR
-        deltas (their keys are not in the probe), or an open upper bound
-        hit → candidate.  NULL keys never join-match in MERGE's anti/semi
-        joins, so bounds that ignore nulls stay sound.
+        EVERY change key.  Conservative fallbacks: a file with missing or
+        undecodable key bounds, a bucket carrying live MOR deltas (their
+        keys are in neither tier), an open upper bound hit, or a bucket
+        with no usable change range when the probe is gated off →
+        candidate.  NULL keys never join-match in MERGE's anti/semi joins,
+        so bounds and ranges that ignore nulls stay sound.  Python string
+        comparison is code-point order == UTF-8 byte order, matching both
+        Spark's string ordering and the parquet-footer bound ordering, so
+        tier 1's driver-side compares agree with the executors'.
 
         At 10^10-row scale this turns COW write amplification from
         O(touched buckets) into O(files whose key range the batch actually
-        intersects) — for the classic CDC shape (monotone keys, updates
-        skewed recent) that is the newest files only.
+        intersects).
         """
         from .stats import _base_type, _norm
 
@@ -940,7 +962,29 @@ class LakeTable:
             e["bucket"] for e in self.manifest.get("deltas", [])
             if e["bucket"] in tset
         }
+        # normalized per-bucket change-key ranges for the free tier; a
+        # range with a NULL end (all-NULL keys) or a normalization failure
+        # degrades to "no range" for that bucket
+        ranges: dict[int, tuple] = {}
+        for b, (c_lo, c_hi) in (key_ranges or {}).items():
+            if c_lo is None or c_hi is None:
+                continue
+            ok_l, nl = _norm(fld.type, c_lo)
+            ok_h, nh = _norm(fld.type, c_hi)
+            if ok_l and ok_h:
+                ranges[int(b)] = (nl, nh)
+
+        probe_mode = self.manifest["properties"].get(
+            "write.merge.prune.probe", "auto"
+        ).lower()
+        probe_ok = probe_mode == "always" or (
+            probe_mode == "auto"
+            and n_changes is not None
+            and n_changes <= broadcast_max_rows
+        )
+
         probe_rows, candidates = [], set()
+        clean: list[dict] = []
         prunable: dict[str, dict] = {}
         for f in self.manifest["files"]:
             if f["bucket"] not in tset:
@@ -955,31 +999,44 @@ class LakeTable:
             if not lo_ok or not hi_ok or rows is None:
                 candidates.add(f["path"])
                 continue
+            rng = ranges.get(int(f["bucket"]))
+            if rng is not None and (
+                (hi is not None and hi < rng[0]) or lo > rng[1]
+            ):
+                clean.append(f)  # tier 1: disjoint from the change range
+                continue
+            if not probe_ok:
+                candidates.add(f["path"])
+                continue
             probe_rows.append((f["path"], int(f["bucket"]), lo, hi, hi is None))
             prunable[f["path"]] = f
         if not probe_rows:
-            # nothing prunable: skip the probe action entirely
-            return (candidates, [], {}) if candidates else None
-        kt = "string" if _base_type(fld.type) == "varchar" else fld.type
-        files_df = self.spark.createDataFrame(
-            probe_rows,
-            schema=f"__path string, __fb int, __lo {kt}, __hi {kt}, __open boolean",
-        )
-        hits = (
-            changes.select(F.col(key).alias("__k"), F.col("__bucket"))
-            .join(
-                F.broadcast(files_df),
-                (F.col("__bucket") == F.col("__fb"))
-                & (F.col("__k") >= F.col("__lo"))
-                & (F.col("__open") | (F.col("__k") <= F.col("__hi"))),
-                "inner",
+            # no probe needed/allowed: tier-1 verdicts only
+            if not candidates and not clean:
+                return None
+        else:
+            kt = "string" if _base_type(fld.type) == "varchar" else fld.type
+            files_df = self.spark.createDataFrame(
+                probe_rows,
+                schema=f"__path string, __fb int, __lo {kt}, __hi {kt}, __open boolean",
             )
-            .select("__path")
-            .distinct()
-            .collect()
-        )
-        candidates.update(r["__path"] for r in hits)
-        clean = [f for p, f in prunable.items() if p not in candidates]
+            hits = (
+                changes.select(F.col(key).alias("__k"), F.col("__bucket"))
+                .join(
+                    F.broadcast(files_df),
+                    (F.col("__bucket") == F.col("__fb"))
+                    & (F.col("__k") >= F.col("__lo"))
+                    & (F.col("__open") | (F.col("__k") <= F.col("__hi"))),
+                    "inner",
+                )
+                .select("__path")
+                .distinct()
+                .collect()
+            )
+            candidates.update(r["__path"] for r in hits)
+            clean.extend(
+                f for p, f in prunable.items() if p not in candidates
+            )
         clean_rows: dict[int, int] = {}
         for f in clean:
             b = int(f["bucket"])
@@ -1067,18 +1124,29 @@ class LakeTable:
         changes = changes.withColumn("__bucket", self.bucket_expr()).persist()
         try:
             if bucket_stats is None:
-                # ONE aggregation action yields touched buckets + upsert count.
+                # ONE aggregation action yields touched buckets + upsert
+                # count + per-bucket change-key range (the free tier of the
+                # MERGE file prune rides the same shuffle).
                 bucket_stats = (
                     changes.groupBy("__bucket")
                     .agg(
                         F.sum(F.when(F.col(op_col) != delete_value, 1).otherwise(0)).alias("n_up"),
                         F.sum(F.when(F.col(op_col) == delete_value, 1).otherwise(0)).alias("n_del"),
+                        F.min(keys[0]).alias("k_lo"),
+                        F.max(keys[0]).alias("k_hi"),
                     )
                     .collect()
                 )
             touched = [int(r["__bucket"]) for r in bucket_stats]
             rows_upserted = int(sum(r["n_up"] for r in bucket_stats))
             deletes_requested = int(sum(r["n_del"] for r in bucket_stats))
+            key_ranges: dict[int, tuple] = {}
+            for r in bucket_stats:
+                try:  # caller-supplied stats may predate the range fields
+                    key_ranges[int(r["__bucket"])] = (r["k_lo"], r["k_hi"])
+                except (KeyError, ValueError, IndexError):
+                    key_ranges = {}
+                    break
 
             # A touched bucket "has rows" if it has BASE FILES or live MOR
             # DELTAS — a mor-ingested, not-yet-compacted bucket has an empty
@@ -1093,7 +1161,13 @@ class LakeTable:
             clean_entries: list[dict] = []
             clean_rows: dict[int, int] = {}
             prune = (
-                self._merge_candidate_files(changes, touched)
+                self._merge_candidate_files(
+                    changes,
+                    touched,
+                    key_ranges=key_ranges,
+                    n_changes=rows_upserted + deletes_requested,
+                    broadcast_max_rows=broadcast_max_rows,
+                )
                 if touched_has_files
                 else None
             )

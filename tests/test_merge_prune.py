@@ -236,3 +236,56 @@ def test_decimal_column_stats_degrade_not_crash(spark, tmp_root):
     st = t.merge(ch, broadcast_changes=True)
     assert st["files_kept"] > 0  # bigint-key prune still works
     assert t.read().count() == 210
+
+
+def test_tier1_range_prune_with_probe_never(spark, tmp_root):
+    """probe=never: the free per-bucket range tier alone must keep the
+    disjoint files (no probe job exists to help), result-equal to the
+    unpruned clone."""
+    t_on = _build(
+        spark, tmp_root, "on",
+        properties={"write.merge.prune.probe": "never"},
+    )
+    t_off = _build(
+        spark, tmp_root, "off",
+        properties={"write.merge.prune_files": "false"},
+    )
+    ch = _changes(spark, 3200, 3300, 3300, 3310, 4000, 4010)
+    s_on = t_on.merge(ch, broadcast_changes=True)
+    s_off = t_off.merge(ch, broadcast_changes=True)
+    assert s_on["files_kept"] > 0  # appends 1-3 ([0,3000)) are range-disjoint
+    assert _sorted_rows(t_on) == _sorted_rows(t_off)
+    assert sum(t_on.manifest["bucket_rows"].values()) == 4000 - 10 + 10
+
+
+def test_probe_auto_gates_off_for_large_batches(spark, tmp_root):
+    """auto mode with broadcast_max_rows=0 simulates a huge batch: the
+    per-key probe must not run, tier 1 still prunes range-disjoint files,
+    and files the range test cannot clear are rewritten (correctness
+    over selectivity)."""
+    t = _build(spark, tmp_root, "t")
+    # sparse keys spanning appends 1 and 4: tier 1 can only clear
+    # appends 2-3 if per-bucket ranges say so — here the range [5, 3995]
+    # covers everything, so NOTHING is cleanly excluded without the probe
+    ch = (
+        spark.createDataFrame([(5,), (3995,)], "id bigint")
+        .select(
+            F.col("id"),
+            F.concat(F.lit("upd"), F.col("id")).alias("val"),
+            F.lit(1).cast("int").alias("ver"),
+            F.lit("upsert").alias("op"),
+        )
+    )
+    st = t.merge(ch, broadcast_max_rows=0)
+    # with the probe gated off, wide-range batches rewrite their buckets
+    assert st["files_kept"] == 0 or st["files_rewritten"] > 0
+    got = {r["id"]: r["val"] for r in t.read().filter("id in (5, 3995)").collect()}
+    assert got == {5: "upd5", 3995: "upd3995"}
+    assert t.read().count() == 4000
+
+    # same sparse batch WITH the probe (small change-set, auto on):
+    # per-key bounds clear the middle appends' files
+    t2 = _build(spark, tmp_root, "t2")
+    st2 = t2.merge(ch)
+    assert st2["files_kept"] > 0
+    assert t2.read().count() == 4000
