@@ -1002,6 +1002,37 @@ def q_global_row_number(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C 13-gram rule, n=5 at
+    test scale): flag every document sharing ≥1 distinct 5-gram with the
+    deterministic 'benchmark' subset (doc_id % 97 == 0 — no external
+    data).  The benchmark collapses to its distinct hashed-shingle set
+    and is BROADCAST, so the corpus side is one narrow map-side semi-join
+    pass — at 100 TB the corpus is never shuffled on shingle."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter((F.col("doc_id") % 97) == 0).select("text")
+    out = D.decontaminate(d, bench, "text", "doc_id", ngram=5)
+    return out.select(
+        "doc_id",
+        F.col("contaminated_ngrams").cast("bigint").alias("contaminated_ngrams"),
+    ).orderBy("doc_id")
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: shard_id = exclusive running token sum
+    // budget under a total doc order — the global cumulative sum done
+    with boundary slices + per-slice windows (operators/order.py
+    pack_shards), never a single-partition global window."""
+    from data_migration_validator_spark.operators.order import pack_shards
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count("text", "whitespace").cast("bigint").alias("tokens"),
+    )
+    out = pack_shards(d, "tokens", ["doc_id"], budget=2000, num_slices=16)
+    return out.select("doc_id", "tokens", "shard_id").orderBy("doc_id")
+
+
 def _injected_pii(spark, sf_dir):
     """documents with deterministic PII appended (so the scrub has real,
     oracle-reproducible hits): every 3rd doc gets an email, every 5th an
@@ -1283,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_row_number": q_global_row_number,
         "stats_pruned_scan": q_stats_pruned_scan,
         "ngram_repetition": q_ngram_repetition,
+        "decontaminate": q_decontaminate,
+        "shard_packing": q_pack_shards,
     }
 
 
@@ -1964,6 +1997,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey,
                ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_num
         FROM orders ORDER BY o_orderkey
+    """
+    # --- decontamination: distinct 5-gram overlap with the doc_id%97
+    # benchmark subset; mirrors dedup.decontaminate (hashing is join-key
+    # compression only — counts are identical absent 64-bit collisions).
+    sqls["decontaminate"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text, ''))), '\s+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN LEN(tk) >= 5 THEN
+                       LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 3),
+                           i -> CONCAT_WS(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))
+                   ELSE [ARRAY_TO_STRING(tk, ' ')] END AS shingles
+            FROM toks
+        ),
+        ex AS (
+            SELECT doc_id, UNNEST(shingles) AS s FROM sh
+        ),
+        exf AS (SELECT doc_id, s FROM ex WHERE s <> ''),
+        bench AS (SELECT DISTINCT s FROM exf WHERE doc_id % 97 = 0)
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_ngrams
+        FROM exf e JOIN bench b ON e.s = b.s
+        GROUP BY e.doc_id
+        ORDER BY e.doc_id
+    """
+    # --- shard packing: the boundary-slice cumulative sum must agree with
+    # the naive single-window exclusive prefix sum exactly (doc_id unique
+    # → total order).
+    sqls["shard_packing"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+                   END AS BIGINT) AS tokens
+            FROM documents
+        )
+        SELECT doc_id, tokens,
+               CAST(FLOOR(CAST(SUM(tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - tokens AS DOUBLE) / 2000) AS BIGINT) AS shard_id
+        FROM w ORDER BY doc_id
     """
     sqls["ivm_refresh"] = """
         SELECT CASE WHEN o_orderkey % 8 = 1 THEN 'U' ELSE o_orderstatus END

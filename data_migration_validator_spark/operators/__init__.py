@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    decontaminate,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_near_dup,
@@ -8,7 +9,7 @@ from .dedup import (  # noqa: F401
     simhash_near_dup,
     simhash_signatures,
 )
-from .order import global_row_number  # noqa: F401
+from .order import global_row_number, pack_shards  # noqa: F401
 from .sampling import (  # noqa: F401
     deterministic_sample,
     sample_exact_k,

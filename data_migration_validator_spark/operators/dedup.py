@@ -539,3 +539,62 @@ def connected_components(
         return out
     finally:
         edges.unpersist()
+
+
+# --------------------------------------------------------------------------- #
+# benchmark decontamination (cross-set n-gram overlap)
+# --------------------------------------------------------------------------- #
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    ngram: int = 5,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Training-set decontamination: flag documents sharing ≥
+    ``min_overlap`` distinct word ``ngram``-grams with ANY benchmark text
+    (the GPT-3 appendix-C / PaLM 13-gram rule, here with a configurable n).
+
+    Returns one row per contaminated document:
+    ``(id_col, contaminated_ngrams)`` — the count of the document's
+    distinct shingles that appear anywhere in the benchmark set.
+
+    Plan shape (the one you'd want at 100 TB of docs vs a few MB of
+    eval sets): the benchmark side collapses to its DISTINCT shingle set
+    and is broadcast (``broadcast_benchmark``), so the big side is ONE
+    narrow map-side semi-join pass — scan → shingle-explode → broadcast
+    probe — followed by a count aggregation on ``id_col``; the corpus is
+    never shuffled on shingle.  Set ``broadcast_benchmark=False`` for a
+    benchmark too big to broadcast (falls back to a shuffle join on the
+    shingle key).  ``hash_shingles`` joins on ``xxhash64(shingle)``
+    (8-byte keys instead of n-word strings — smaller broadcast, cheaper
+    compares; 64-bit collisions can only over-flag, never miss).
+
+    Whitespace-only and empty texts produce the empty shingle on both
+    sides; it is dropped so empty docs are never "contaminated by" empty
+    benchmark rows.  Everything is JVM built-ins — no Python in the path.
+    """
+    bench_text_col = bench_text_col or text_col
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(_shingles(text_col, ngram)).alias("__sh")
+    ).filter(F.col("__sh") != "")
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(bench_text_col, ngram)).alias("__sh"))
+        .filter(F.col("__sh") != "")
+        .distinct()
+    )
+    if hash_shingles:
+        doc_sh = doc_sh.select(id_col, F.xxhash64("__sh").alias("__sh"))
+        bench_sh = bench_sh.select(F.xxhash64("__sh").alias("__sh"))
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        doc_sh.join(bench_sh, "__sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+        .filter(F.col("contaminated_ngrams") >= min_overlap)
+    )

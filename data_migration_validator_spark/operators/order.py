@@ -58,6 +58,48 @@ def global_row_number(
     consistent-within-run ordinals).  ``num_slices`` defaults to the
     session's shuffle parallelism.
     """
+    sliced, sid = _sliced(df, order_cols, num_slices, sample_per_slice)
+    if sliced is None:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+
+    # 3. O(#slices) rows to the driver — never O(data)
+    counts = sorted(
+        (r[sid], r["n"])
+        for r in sliced.groupBy(sid).agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for p, cnt in counts:
+        offsets.append((p, acc))
+        acc += cnt
+
+    # 4. per-slice numbering + offset looked up from a literal map (tiny —
+    # one entry per slice; cheaper than any join and sidesteps a Spark
+    # 4.1.2 binding bug in broadcast-join-under-window plans): ONE data
+    # shuffle total (the window's hash exchange on the slice id)
+    off_map = F.create_map(
+        *[F.lit(x) for p, o in offsets for x in (p, o)]
+    )
+    w = Window.partitionBy(sid).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        sliced.withColumn(
+            out_col,
+            F.row_number().over(w).cast("bigint")
+            + off_map[F.col(sid)].cast("bigint"),
+        )
+        .drop(sid)
+    )
+
+
+def _sliced(
+    df: DataFrame,
+    order_cols: list[str],
+    num_slices: int | None,
+    sample_per_slice: int,
+) -> tuple[DataFrame | None, str]:
+    """Steps 1-2 of the boundary-slice plan, shared by every global-order
+    operator: deterministic boundary sample + pure slice-id column.
+    Returns ``(df + slice column, slice column name)``; ``(None, sid)``
+    for an empty input."""
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     sid = "__grn_sid"
@@ -69,7 +111,7 @@ def global_row_number(
 
     n = df.count()
     if n == 0:
-        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+        return None, sid
 
     # 1. deterministic sample of order keys -> sorted boundary cut points
     target = max(num_slices * sample_per_slice, 1)
@@ -114,31 +156,68 @@ def global_row_number(
         sid_expr = F.size(F.filter(F.array(*blits), lambda b: b <= key))
     else:
         sid_expr = F.lit(0)
-    sliced = df.withColumn(sid, sid_expr.cast("int"))
+    return df.withColumn(sid, sid_expr.cast("int")), sid
 
-    # 3. O(#slices) rows to the driver — never O(data)
-    counts = sorted(
-        (r[sid], r["n"])
-        for r in sliced.groupBy(sid).agg(F.count("*").alias("n")).collect()
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[str],
+    budget: int,
+    out_col: str = "shard_id",
+    num_slices: int | None = None,
+    sample_per_slice: int = 200,
+) -> DataFrame:
+    """Sequential shard packing for training-data layout: assign each row
+    the 0-based shard its EXCLUSIVE running-weight prefix falls in under
+    ``ORDER BY order_cols`` —
+
+        ``shard_id = floor((cumsum(weight) - weight) / budget)``
+
+    i.e. documents stream into a shard until its ``budget`` (e.g. a token
+    target) is reached, then the next shard opens; a document straddling
+    the boundary goes to the shard it STARTED in (standard sequence-
+    packing spillover, so every shard holds ≥ budget - max_doc_weight).
+
+    Scale shape: the naive form is ``SUM(w) OVER (ORDER BY …)`` — a
+    single-partition global window.  This uses the same boundary-slice
+    plan as :func:`global_row_number`: deterministic range slices, ONE
+    metadata-sized job for per-slice weight totals (driver prefix-sums
+    them into slice offsets), then a per-slice running sum + offset — one
+    data shuffle total, no single-partition stage.
+
+    ``weight_col`` must be non-negative (negative weights make the running
+    sum non-monotone and shard ids meaningless); NULL weighs 0.
+    ``order_cols`` should form a total order — ties get arbitrary but
+    consistent-within-run packing.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    sliced, sid = _sliced(df, order_cols, num_slices, sample_per_slice)
+    if sliced is None:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    wt = F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0))
+
+    totals = sorted(
+        (r[sid], int(r["w"] or 0))
+        for r in sliced.groupBy(sid).agg(F.sum(wt).alias("w")).collect()
     )
     offsets, acc = [], 0
-    for p, cnt in counts:
+    for p, s in totals:
         offsets.append((p, acc))
-        acc += cnt
+        acc += s
 
-    # 4. per-slice numbering + offset looked up from a literal map (tiny —
-    # one entry per slice; cheaper than any join and sidesteps a Spark
-    # 4.1.2 binding bug in broadcast-join-under-window plans): ONE data
-    # shuffle total (the window's hash exchange on the slice id)
-    off_map = F.create_map(
-        *[F.lit(x) for p, o in offsets for x in (p, o)]
+    off_map = F.create_map(*[F.lit(x) for p, o in offsets for x in (p, o)])
+    w = (
+        Window.partitionBy(sid)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy(sid).orderBy(*[F.col(c) for c in order_cols])
+    cum_excl = F.sum(wt).over(w) + off_map[F.col(sid)].cast("bigint") - wt
     return (
         sliced.withColumn(
             out_col,
-            F.row_number().over(w).cast("bigint")
-            + off_map[F.col(sid)].cast("bigint"),
+            F.floor(cum_excl.cast("double") / F.lit(float(budget))).cast("bigint"),
         )
         .drop(sid)
     )

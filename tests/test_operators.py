@@ -415,3 +415,58 @@ def test_repetition_metrics(spark):
 
     with _pt.raises(ValueError):
         repetition_metrics(df, "text", ("doc_id",), 0)
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from data_migration_validator_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here nothing shared at all"),
+            (3, "something quick brown fox jumps over the fence today"),
+            (4, ""),          # empty doc must never be flagged
+            (5, None),        # null doc must never be flagged
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog indeed",), ("",)],
+        "text string",
+    )
+    got = {
+        r["doc_id"]: r["contaminated_ngrams"]
+        for r in decontaminate(docs, bench, "text", "doc_id", ngram=5).collect()
+    }
+    # doc 1 shares 5-grams starting at 'quick'(x4 sliding positions that
+    # fall inside the bench text); doc 3 shares 'quick brown fox jumps over'
+    assert set(got) == {1, 3}
+    assert got[1] >= 3 and got[3] >= 1
+
+    # hashed and raw-string joins agree; shuffle path agrees with broadcast
+    raw = {
+        r["doc_id"]: r["contaminated_ngrams"]
+        for r in decontaminate(
+            docs, bench, "text", "doc_id", ngram=5, hash_shingles=False
+        ).collect()
+    }
+    shuf = {
+        r["doc_id"]: r["contaminated_ngrams"]
+        for r in decontaminate(
+            docs, bench, "text", "doc_id", ngram=5, broadcast_benchmark=False
+        ).collect()
+    }
+    assert raw == got == shuf
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    from data_migration_validator_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e zz yy xx ww vv")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    # doc1 has 2 5-grams both in bench; doc2 has 1
+    strict = decontaminate(docs, bench, "text", "doc_id", ngram=5, min_overlap=2)
+    assert [r["doc_id"] for r in strict.collect()] == [1]

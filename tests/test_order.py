@@ -115,3 +115,75 @@ def test_tiny_sample_fraction_never_zeroes_threshold(spark, monkeypatch):
     # and the plan still slices (h < 1 keeps ~half the rows under mod 2)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(__grn_sid" in plan
+
+
+# --------------------------------------------------------------------------- #
+# pack_shards
+# --------------------------------------------------------------------------- #
+def _wdf(spark, n=4000):
+    """Unique non-monotonic key + skewed non-negative weights."""
+    return spark.range(n).select(
+        ((F.col("id") * 48271) % 99991).alias("k"),
+        ((F.col("id") * 7919) % 503).alias("w"),
+    )
+
+
+def _naive_shards(df, budget):
+    win = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("w").over(win) - F.col("w")).cast("double") / F.lit(float(budget))
+        ).cast("bigint"),
+    )
+
+
+def test_pack_shards_matches_single_partition_window(spark):
+    from data_migration_validator_spark.operators.order import pack_shards
+
+    df = _wdf(spark)
+    got = {
+        (r["k"], r["shard_id"])
+        for r in pack_shards(df, "w", ["k"], budget=5000, num_slices=16).collect()
+    }
+    want = {
+        (r["k"], r["shard_id"]) for r in _naive_shards(df, 5000).collect()
+    }
+    assert got == want
+    # shards are contiguous 0..max with every id present
+    sids = sorted({s for _, s in got})
+    assert sids == list(range(sids[-1] + 1))
+
+
+def test_pack_shards_no_single_partition_stage(spark):
+    from data_migration_validator_spark.operators.order import pack_shards
+
+    out = pack_shards(_wdf(spark), "w", ["k"], budget=5000, num_slices=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__grn_sid" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pack_shards_edges(spark):
+    from data_migration_validator_spark.operators.order import pack_shards
+
+    with pytest.raises(ValueError):
+        pack_shards(_wdf(spark, 10), "w", ["k"], budget=0)
+    empty = _wdf(spark, 1).filter("k < 0")
+    assert pack_shards(empty, "w", ["k"], budget=10).count() == 0
+    # NULL weight counts as 0 (row packs into the current shard)
+    df = spark.createDataFrame(
+        [(1, 7), (2, None), (3, 7)], "k int, w int"
+    )
+    got = {
+        r["k"]: r["shard_id"]
+        for r in pack_shards(df, "w", ["k"], budget=10).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0}  # cum_excl: 0, 7, 7 -> all shard 0
+    # a doc straddling the boundary belongs to the shard it STARTED in
+    df2 = spark.createDataFrame([(1, 9), (2, 9), (3, 1)], "k int, w int")
+    got2 = {
+        r["k"]: r["shard_id"]
+        for r in pack_shards(df2, "w", ["k"], budget=10).collect()
+    }
+    assert got2 == {1: 0, 2: 0, 3: 1}
