@@ -946,7 +946,7 @@ class LakeTable:
         O(touched buckets) into O(files whose key range the batch actually
         intersects).
         """
-        from .stats import _base_type, _norm
+        from .stats import _base_type, _norm, same_comparison_domain
 
         if self.manifest["properties"].get(
             "write.merge.prune_files", "true"
@@ -962,6 +962,19 @@ class LakeTable:
             e["bucket"] for e in self.manifest.get("deltas", [])
             if e["bucket"] in tset
         }
+        # Tier 1 is sound only when the change-set's key column compares in
+        # the SAME domain the table key does: the per-bucket min/max was
+        # computed under the CHANGES column's native ordering, and e.g. a
+        # string-typed change key gives lexical bounds ("10" < "9") that
+        # _norm would silently cross-coerce into numeric — an inverted
+        # range that could mark a file clean while it holds a change key.
+        # (The tier-2 probe is immune: Spark coerces inside the join.)
+        try:
+            ch_type = changes.schema[key].dataType.simpleString()
+        except Exception:
+            ch_type = None
+        if ch_type is None or not same_comparison_domain(ch_type, fld.type):
+            key_ranges = None
         # normalized per-bucket change-key ranges for the free tier; a
         # range with a NULL end (all-NULL keys) or a normalization failure
         # degrades to "no range" for that bucket

@@ -582,14 +582,15 @@ def decontaminate(
     doc_sh = docs.select(
         F.col(id_col), F.explode(_shingles(text_col, ngram)).alias("__sh")
     ).filter(F.col("__sh") != "")
-    bench_sh = (
-        benchmark.select(F.explode(_shingles(bench_text_col, ngram)).alias("__sh"))
-        .filter(F.col("__sh") != "")
-        .distinct()
-    )
+    bench_sh = benchmark.select(
+        F.explode(_shingles(bench_text_col, ngram)).alias("__sh")
+    ).filter(F.col("__sh") != "")
     if hash_shingles:
+        # hash BEFORE the distinct so its exchange (and the join key)
+        # moves 8-byte keys, not n-word strings
         doc_sh = doc_sh.select(id_col, F.xxhash64("__sh").alias("__sh"))
         bench_sh = bench_sh.select(F.xxhash64("__sh").alias("__sh"))
+    bench_sh = bench_sh.distinct()
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     return (

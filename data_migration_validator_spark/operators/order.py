@@ -186,13 +186,27 @@ def pack_shards(
     them into slice offsets), then a per-slice running sum + offset — one
     data shuffle total, no single-partition stage.
 
-    ``weight_col`` must be non-negative (negative weights make the running
-    sum non-monotone and shard ids meaningless); NULL weighs 0.
-    ``order_cols`` should form a total order — ties get arbitrary but
-    consistent-within-run packing.
+    ``weight_col`` must be an INTEGRAL column (tinyint..bigint — fractional
+    weights would be floored row-by-row, systematically overshooting the
+    budget; pre-round them explicitly) and non-negative (negative weights
+    make the running sum non-monotone and shard ids meaningless); NULL
+    weighs 0.  ``order_cols`` should form a total order — ties get
+    arbitrary but consistent-within-run packing.  Shard assignment is
+    exact integer arithmetic end to end: a double division would round
+    boundary rows into the wrong shard once the running sum passes 2^53.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    from pyspark.sql import types as _T
+
+    wt_type = df.schema[weight_col].dataType
+    if not isinstance(
+        wt_type, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+    ):
+        raise ValueError(
+            f"weight_col {weight_col!r} must be integral, got "
+            f"{wt_type.simpleString()}; round it explicitly first"
+        )
     sliced, sid = _sliced(df, order_cols, num_slices, sample_per_slice)
     if sliced is None:
         return df.withColumn(out_col, F.lit(None).cast("bigint"))
@@ -214,10 +228,13 @@ def pack_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_excl = F.sum(wt).over(w) + off_map[F.col(sid)].cast("bigint") - wt
+    cx = "__ps_cum"
+    while cx in sliced.columns:
+        cx += "_"
     return (
-        sliced.withColumn(
-            out_col,
-            F.floor(cum_excl.cast("double") / F.lit(float(budget))).cast("bigint"),
-        )
-        .drop(sid)
+        sliced.withColumn(cx, cum_excl)
+        # integer `div`: exact for any bigint prefix, where a double
+        # FLOOR(x/y) misrounds boundary rows past 2^53
+        .withColumn(out_col, F.expr(f"`{cx}` div {int(budget)}").cast("bigint"))
+        .drop(sid, cx)
     )

@@ -260,32 +260,97 @@ def test_tier1_range_prune_with_probe_never(spark, tmp_root):
 
 def test_probe_auto_gates_off_for_large_batches(spark, tmp_root):
     """auto mode with broadcast_max_rows=0 simulates a huge batch: the
-    per-key probe must not run, tier 1 still prunes range-disjoint files,
-    and files the range test cannot clear are rewritten (correctness
-    over selectivity)."""
-    t = _build(spark, tmp_root, "t")
-    # sparse keys spanning appends 1 and 4: tier 1 can only clear
-    # appends 2-3 if per-bucket ranges say so — here the range [5, 3995]
-    # covers everything, so NOTHING is cleanly excluded without the probe
-    ch = (
-        spark.createDataFrame([(5,), (3995,)], "id bigint")
+    per-key probe must NOT run.  The fixture pins two change keys to the
+    SAME bucket, one inside append 1's range and one inside append 4's, so
+    that bucket's tier-1 change range spans all four files — tier 1 alone
+    clears nothing, the probe clears the two middle appends.  A gated run
+    must therefore keep exactly what probe=never keeps and STRICTLY fewer
+    files than the probe-on run (this is what makes a gate regression —
+    the probe wrongly running — detectable)."""
+    bk = {
+        r["id"]: r["b"]
+        for r in spark.range(0, 4000)
         .select(
+            "id",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(N_BUCKETS)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    k1 = 5
+    k2 = next(i for i in range(3000, 4000) if bk[i] == bk[k1])
+
+    def mk_change():
+        return spark.createDataFrame([(k1,), (k2,)], "id bigint").select(
             F.col("id"),
             F.concat(F.lit("upd"), F.col("id")).alias("val"),
             F.lit(1).cast("int").alias("ver"),
             F.lit("upsert").alias("op"),
         )
-    )
-    st = t.merge(ch, broadcast_max_rows=0)
-    # with the probe gated off, wide-range batches rewrite their buckets
-    assert st["files_kept"] == 0 or st["files_rewritten"] > 0
-    got = {r["id"]: r["val"] for r in t.read().filter("id in (5, 3995)").collect()}
-    assert got == {5: "upd5", 3995: "upd3995"}
-    assert t.read().count() == 4000
 
-    # same sparse batch WITH the probe (small change-set, auto on):
-    # per-key bounds clear the middle appends' files
-    t2 = _build(spark, tmp_root, "t2")
-    st2 = t2.merge(ch)
-    assert st2["files_kept"] > 0
-    assert t2.read().count() == 4000
+    t_gate = _build(spark, tmp_root, "gate")
+    t_never = _build(
+        spark, tmp_root, "never",
+        properties={"write.merge.prune.probe": "never"},
+    )
+    t_probe = _build(spark, tmp_root, "probe")
+    s_gate = t_gate.merge(mk_change(), broadcast_max_rows=0)
+    s_never = t_never.merge(mk_change())
+    s_probe = t_probe.merge(mk_change())
+
+    assert s_probe["files_kept"] > s_gate["files_kept"]
+    assert s_gate["files_kept"] == s_never["files_kept"]
+    assert (
+        _sorted_rows(t_gate) == _sorted_rows(t_never) == _sorted_rows(t_probe)
+    )
+    got = {r["id"]: r["val"] for r in t_gate.read().filter(
+        f"id in ({k1}, {k2})").collect()}
+    assert got == {k1: f"upd{k1}", k2: f"upd{k2}"}
+    assert t_gate.read().count() == 4000
+
+
+def test_string_typed_change_key_disables_tier1(spark, tmp_root):
+    """A change-set whose key column arrives string-typed compares in
+    LEXICAL order ('10' < '9'), so its per-bucket min/max is meaningless
+    in the table key's numeric domain — tier 1 must be disabled (the
+    cross-domain guard), the probe (immune: Spark coerces inside the
+    join) still prunes, and the result equals the unpruned clone."""
+    def mk(name, props=None):
+        p = {"write.sort.cols": "id"}
+        p.update(props or {})
+        return LakeTable.create(
+            spark, os.path.join(tmp_root, name),
+            [("id", "bigint"), ("grp", "string"), ("v", "int")],
+            key_cols=["id"], bucket_col="grp", num_buckets=2, properties=p,
+        )
+
+    def rows(lo, hi, v=0):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.concat(F.lit("g"), F.pmod(F.col("id"), F.lit(7))).alias("grp"),
+            F.lit(v).cast("int").alias("v"),
+        )
+
+    t_on, t_off = mk("on"), mk("off", {"write.merge.prune_files": "false"})
+    for t in (t_on, t_off):
+        for i in range(3):
+            t.append(rows(i * 100, (i + 1) * 100))
+    # string-typed keys 9 and 10: lexical min/max is ("10", "9") — an
+    # INVERTED numeric range that unguarded tier 1 would prune on
+    ch = spark.createDataFrame([("9",), ("10",)], "id string").select(
+        F.col("id"),
+        F.concat(F.lit("g"), F.pmod(F.col("id").cast("bigint"), F.lit(7))).alias("grp"),
+        F.lit(1).cast("int").alias("v"),
+        F.lit("upsert").alias("op"),
+    )
+    s_on = t_on.merge(ch, broadcast_changes=True)
+    s_off = t_off.merge(ch, broadcast_changes=True)
+    assert s_on["rows_upserted"] == s_off["rows_upserted"] == 2
+    assert (
+        sorted(tuple(r) for r in t_on.read().collect())
+        == sorted(tuple(r) for r in t_off.read().collect())
+    )
+    got = {r["id"]: r["v"] for r in t_on.read().filter("id in (9, 10)").collect()}
+    assert got == {9: 1, 10: 1}
+    assert t_on.read().count() == 300
+    # the probe still prunes the file whose range excludes both keys
+    assert s_on["files_kept"] > 0
