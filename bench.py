@@ -79,7 +79,10 @@ def _wait_for_quiet(max_load: float, timeout_s: int = 300) -> None:
         time.sleep(5)
 
 
-def _events_fixture(spark, tmp: str, n_events: int, n_batches: int):
+def _events_fixture(
+    spark, tmp: str, n_events: int, n_batches: int,
+    key_locality: int | None = None,
+):
     from data_migration_validator_spark.cdc.events import (
         change_events,
         write_events_batched,
@@ -88,12 +91,13 @@ def _events_fixture(spark, tmp: str, n_events: int, n_batches: int):
     ev = change_events(
         spark, n_events=n_events, n_repos=200, seed=42,
         batch_size=max(1, n_events // n_batches),
+        key_locality=key_locality,
     )
     write_events_batched(ev, f"{tmp}/events")
     return ev
 
 
-def _new_table(spark, path: str):
+def _new_table(spark, path: str, properties: dict | None = None):
     from data_migration_validator_spark.lake.schema import TableSchema
     from data_migration_validator_spark.lake.table import LakeTable
 
@@ -107,6 +111,7 @@ def _new_table(spark, path: str):
         key_cols=["repo", "path"],
         bucket_col="repo",
         num_buckets=16,
+        properties=properties,
     )
 
 
@@ -165,6 +170,57 @@ def bench_cdc_replay(
         if compacts:
             out["compact_sec"] = round(min(compacts), 3)
         return out
+
+
+def bench_cdc_replay_prune(
+    spark,
+    n_events: int,
+    n_batches: int = 8,
+    repeats: int = 2,
+    max_load: float = 8.0,
+) -> dict:
+    """MERGE file-prune write-amp leg: the same digest-verified replay over
+    a MONOTONE-FRONTIER event stream (autoincrement-PK CDC shape —
+    ``key_locality``: updates skew recent, repo order == key order), prune
+    on vs off on identical inputs.  Reports files kept vs rewritten for
+    both runs: the prune-on replay must keep old files untouched
+    (files_kept > 0) while producing the same verified table state —
+    whole-bucket COW write amplification vs O(key-intersected files)."""
+    from data_migration_validator_spark.cdc.replay import replay
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _events_fixture(
+            spark, tmp, n_events, n_batches, key_locality=2000
+        )
+        walls, table, stats = [], None, None
+        for i in range(max(1, repeats)):
+            _wait_for_quiet(max_load)
+            table = _new_table(spark, f"{tmp}/pruned_{i}")
+            t0 = time.monotonic()
+            stats = replay(table, f"{tmp}/events")
+            walls.append(time.monotonic() - t0)
+        _wait_for_quiet(max_load)
+        t_off = _new_table(
+            spark, f"{tmp}/unpruned",
+            properties={"write.merge.prune_files": "false"},
+        )
+        o0 = time.monotonic()
+        stats_off = replay(t_off, f"{tmp}/events")
+        off_wall = time.monotonic() - o0
+        replay_s = min(walls)
+        return {
+            "events": n_events,
+            "batches": stats["batches_applied"],
+            "key_locality": 2000,
+            "replay_sec": round(replay_s, 3),
+            "all_sec": [round(w, 3) for w in walls],
+            "events_per_sec": round(n_events / replay_s, 1),
+            "files_kept": stats["files_kept"],
+            "files_rewritten": stats["files_rewritten"],
+            "unpruned_sec": round(off_wall, 3),
+            "unpruned_files_rewritten": stats_off["files_rewritten"],
+            "verified": _verify(table, ev) and _verify(t_off, ev),
+        }
 
 
 def bench_cdc_stream(
@@ -445,6 +501,9 @@ def main():
     cdc_demux = bench_cdc_demux(spark, n_events=n_ev, n_batches=4,
                                 repeats=repeats, max_load=max_load)
     per_query["cdc_demux"] = cdc_demux["demux_sec"]
+    cdc_prune = bench_cdc_replay_prune(spark, n_events=n_ev, n_batches=4,
+                                       repeats=repeats, max_load=max_load)
+    per_query["cdc_replay_prune"] = cdc_prune["replay_sec"]
     ivm = bench_ivm(spark, n_events=n_ev, repeats=repeats, max_load=max_load)
     per_query["ivm_refresh"] = ivm["refresh_sec"]
     per_query["ivm_recompute"] = ivm["recompute_sec"]
@@ -468,6 +527,7 @@ def main():
                 "cdc_mor": cdc_mor,
                 "cdc_stream": cdc_stream,
                 "cdc_demux": cdc_demux,
+                "cdc_prune": cdc_prune,
                 "ivm": ivm,
                 "stats_scan": sscan,
             }

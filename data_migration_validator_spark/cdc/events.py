@@ -39,6 +39,7 @@ def change_events(
     delete_ratio: float = 0.10,
     schema_change_at: dict[int, str] | None = None,
     partitions: int | None = None,
+    key_locality: int | None = None,
 ) -> DataFrame:
     """Ordered change-event stream as a DataFrame.
 
@@ -48,18 +49,43 @@ def change_events(
     ``skew`` > 1 concentrates traffic on low-index repos (hot-repo skew the
     applier must defuse).  ``schema_change_at`` maps event_seq → JSON action
     (op='schema', payload null) for evolution tests.
+
+    ``key_locality``: None (default) keeps the uniform key space — every
+    event hashes to an arbitrary key, the worst case for file pruning.
+    An int switches to the MONOTONE-FRONTIER shape real CDC streams have
+    (autoincrement PKs, updates skewed recent): event e touches key index
+    ``frontier(e) - backoff`` where frontier grows linearly with
+    event_seq and backoff is uniform in [0, key_locality).  Repo indices
+    are zero-padded in this mode so LEXICAL string order == numeric key
+    order — per-file repo bounds then slice the frontier, which is what
+    lets the MERGE file prune keep old files untouched.  Still fully
+    seeded/deterministic and generated with the same JVM expressions.
     """
     base = spark.range(0, n_events, 1, partitions or spark.sparkContext.defaultParallelism)
     ev = base.select(F.col("id").alias("event_seq"))
 
-    u_repo = _unit_uniform(F.col("event_seq"), seed)
-    repo_idx = F.floor(F.pow(u_repo, F.lit(skew)) * n_repos).cast("int")
-    path_idx = F.pmod(F.xxhash64(F.col("event_seq"), F.lit(seed + 7)), F.lit(paths_per_repo)).cast("int")
+    if key_locality is not None:
+        total_keys = max(1, n_repos * paths_per_repo)
+        frontier = F.floor(
+            F.col("event_seq") * F.lit(total_keys) / F.lit(max(1, n_events))
+        )
+        backoff = F.pmod(
+            F.xxhash64(F.col("event_seq"), F.lit(seed + 3)), F.lit(key_locality)
+        )
+        key_idx = F.greatest(F.lit(0), frontier - backoff).cast("bigint")
+        repo_idx = (key_idx / paths_per_repo).cast("int")
+        path_idx = F.pmod(key_idx, F.lit(paths_per_repo)).cast("int")
+        repo_col = F.format_string("org%03d/repo%06d", (repo_idx / 10).cast("int"), repo_idx)
+    else:
+        u_repo = _unit_uniform(F.col("event_seq"), seed)
+        repo_idx = F.floor(F.pow(u_repo, F.lit(skew)) * n_repos).cast("int")
+        path_idx = F.pmod(F.xxhash64(F.col("event_seq"), F.lit(seed + 7)), F.lit(paths_per_repo)).cast("int")
+        repo_col = F.format_string("org%d/repo%d", (repo_idx / 10).cast("int"), repo_idx)
     lang_idx = F.pmod(path_idx, F.lit(len(LANGS)))
 
     ev = ev.withColumns(
         {
-            "repo": F.format_string("org%d/repo%d", (repo_idx / 10).cast("int"), repo_idx),
+            "repo": repo_col,
             "path": F.format_string(
                 "src/d%d/d%d/file_%d.%s",
                 F.pmod(path_idx, F.lit(7)),

@@ -64,6 +64,7 @@ def replay(
         )
     t0 = time.monotonic()
     n_applied = n_skipped = total_upserted = total_deleted = total_del_req = 0
+    total_kept = total_rewritten = 0
     for bid in batch_ids:
         if table.has_batch(bid):
             # commit-log skip BEFORE the read: a restart over an 800-batch
@@ -89,6 +90,8 @@ def replay(
             total_upserted += stats.get("rows_upserted", 0)
             total_deleted += stats.get("rows_deleted", 0)
             total_del_req += stats.get("rows_delete_requested", 0)
+            total_kept += stats.get("files_kept", 0)
+            total_rewritten += stats.get("files_rewritten", 0)
             if compact_every and n_applied % compact_every == 0:
                 table.compact()
     out = {
@@ -96,6 +99,10 @@ def replay(
         "batches_skipped": n_skipped,
         "rows_upserted": total_upserted,
         "rows_delete_requested": total_del_req,
+        # MERGE file-prune write-amp accounting (COW batches only; a kept
+        # file was neither read nor rewritten)
+        "files_kept": total_kept,
+        "files_rewritten": total_rewritten,
         "wall_s": time.monotonic() - t0,
     }
     if count_deletes:

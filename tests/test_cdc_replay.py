@@ -177,3 +177,39 @@ def test_content_sha256_invariant_vs_oracle(spark, tmp_root):
     )
     assert eng.exceptAll(ora).count() == 0
     assert ora.exceptAll(eng).count() == 0
+
+
+def test_monotone_frontier_replay_prunes_and_matches_oracle(spark, tmp_root):
+    """key_locality gives the autoincrement-PK CDC shape (monotone key
+    frontier, updates skewed recent; padded repos so lexical == numeric
+    order).  The replay must (a) keep old files untouched via the MERGE
+    file prune, (b) still match the last-writer-wins oracle exactly, and
+    (c) produce the same state as a prune-off replay of the SAME events."""
+    ev = change_events(
+        spark, 20_000, n_repos=100, seed=7, batch_size=5_000, key_locality=800
+    )
+    # deterministic like the uniform shape
+    a = ev.orderBy("event_seq").limit(5).collect()
+    b = change_events(
+        spark, 20_000, n_repos=100, seed=7, batch_size=5_000, key_locality=800
+    ).orderBy("event_seq").limit(5).collect()
+    assert a == b
+
+    write_events_batched(ev, os.path.join(tmp_root, "events"))
+    t_on = _new_table(spark, tmp_root, "on")
+    st = replay(t_on, os.path.join(tmp_root, "events"))
+    assert st["files_kept"] > 0  # old frontier files survived untouched
+    _assert_state_equal(t_on.read(), expected_final_state(ev))
+
+    t_off = LakeTable.create(
+        spark, os.path.join(tmp_root, "off"), SCHEMA,
+        key_cols=["repo", "path"], num_buckets=8,
+        properties={"write.merge.prune_files": "false"},
+    )
+    st_off = replay(t_off, os.path.join(tmp_root, "events"))
+    assert st_off["files_kept"] == 0
+    assert st["files_rewritten"] < st_off["files_rewritten"]
+    assert (
+        t_on.read().exceptAll(t_off.read()).count() == 0
+        and t_off.read().exceptAll(t_on.read()).count() == 0
+    )
