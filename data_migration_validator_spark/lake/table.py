@@ -168,6 +168,9 @@ class LakeTable:
         self.root = root
         self.manifest = manifest
         self._pinned = False  # True on time-travel handles (read-only)
+        # consecutive zero-yield MERGE prune probes on this handle (the
+        # adaptive probe hysteresis; re-armed by compact()/rebucket())
+        self._probe_miss_streak = 0
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -309,6 +312,7 @@ class LakeTable:
         self._assert_writable()
         if num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
+        self._probe_miss_streak = 0  # file geometry changes: re-arm probe
         src = bucket_col or self.bucket_source
         if self.schema.field_by_name(src) is None:
             raise ValueError(f"bucket column {src!r} not in schema")
@@ -926,7 +930,12 @@ class LakeTable:
            (``never`` disables it; default ``auto``).  A big uniform batch
            intersects almost every file anyway — the probe would be a pure
            extra job — while a small batch is exactly where per-key bounds
-           beat the bucket-range test.
+           beat the bucket-range test.  Auto mode also carries a per-handle
+           hysteresis: after ``write.merge.prune.probe_miss_limit``
+           (default 2) consecutive probes that cleaned nothing beyond
+           tier 1, the handle stops probing until compact()/rebucket()
+           re-arms it — a steady stream pays the probe only for its first
+           batches.
 
         Returns ``(candidate_paths, clean_entries, clean_rows_per_bucket)``
         or ``None`` when pruning is not applicable (no stats, unsupported
@@ -990,10 +999,23 @@ class LakeTable:
         probe_mode = self.manifest["properties"].get(
             "write.merge.prune.probe", "auto"
         ).lower()
+        # Adaptive hysteresis (auto mode only): a probe that cleans nothing
+        # beyond tier 1 was a pure extra Spark job; after ``miss_limit``
+        # consecutive zero-yield probes this HANDLE stops probing — a
+        # steady CDC stream pays the probe for its first batches, learns
+        # the free tier carries its shape, and drops to zero overhead.
+        # compact()/rebucket() re-arm it (file geometry changed).  0
+        # disables the hysteresis.
+        miss_limit = int(
+            self.manifest["properties"].get(
+                "write.merge.prune.probe_miss_limit", "2"
+            )
+        )
         probe_ok = probe_mode == "always" or (
             probe_mode == "auto"
             and n_changes is not None
             and n_changes <= broadcast_max_rows
+            and (miss_limit <= 0 or self._probe_miss_streak < miss_limit)
         )
 
         probe_rows, candidates = [], set()
@@ -1047,9 +1069,13 @@ class LakeTable:
                 .collect()
             )
             candidates.update(r["__path"] for r in hits)
-            clean.extend(
+            probe_cleans = [
                 f for p, f in prunable.items() if p not in candidates
+            ]
+            self._probe_miss_streak = (
+                0 if probe_cleans else self._probe_miss_streak + 1
             )
+            clean.extend(probe_cleans)
         clean_rows: dict[int, int] = {}
         for f in clean:
             b = int(f["bucket"])
@@ -1404,6 +1430,7 @@ class LakeTable:
         maintenance; run it on a schedule or when :meth:`delta_detail`'s
         bytes cross a threshold — ingest never blocks on it.
         """
+        self._probe_miss_streak = 0  # file geometry changes: re-arm probe
         deltas = self.manifest.get("deltas", [])
         scope = set(buckets) if buckets is not None else None
         target = sorted(

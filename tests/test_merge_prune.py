@@ -354,3 +354,29 @@ def test_string_typed_change_key_disables_tier1(spark, tmp_root):
     assert t_on.read().count() == 300
     # the probe still prunes the file whose range excludes both keys
     assert s_on["files_kept"] > 0
+
+
+def test_probe_hysteresis_disables_zero_yield_probes(spark, tmp_root):
+    """Two consecutive probes that clean nothing beyond tier 1 must stop
+    the handle from probing (streak freezes — no further updates), and
+    compact() re-arms it."""
+    t = _build(spark, tmp_root, "t", n_appends=1)  # 1 file/bucket: tier 1
+    assert t._probe_miss_streak == 0               # and probe see the same
+    # wide same-bucket batches -> tier 1 clears nothing, probe also clears
+    # nothing (every file range contains change keys): zero-yield probes
+    for i in range(3):
+        ch = _rows(spark, 0, 1000, ver=i + 1, val="u").withColumn(
+            "op", F.lit("upsert")
+        )
+        t.merge(ch, broadcast_changes=True)
+        # streak counts the first two probes, then the gate skips the
+        # probe entirely so the streak freezes at the limit
+        assert t._probe_miss_streak == min(i + 1, 2)
+    # maintenance changes the file geometry -> probe re-armed
+    t.merge(
+        _rows(spark, 0, 10, ver=9).withColumn("op", F.lit("upsert")),
+        mode="mor",
+    )
+    t.compact()
+    assert t._probe_miss_streak == 0
+    assert t.read().count() == 1000
