@@ -65,6 +65,10 @@ def change_events(
     ev = base.select(F.col("id").alias("event_seq"))
 
     if key_locality is not None:
+        if key_locality < 1:
+            # pmod(hash, 0) is NULL (or DIVIDE_BY_ZERO under ANSI): every
+            # event would silently collapse onto key 0 — fail loudly
+            raise ValueError("key_locality must be >= 1")
         total_keys = max(1, n_repos * paths_per_repo)
         frontier = F.floor(
             F.col("event_seq") * F.lit(total_keys) / F.lit(max(1, n_events))

@@ -266,6 +266,7 @@ class LakeTable:
         without this, the idempotent sink would skip them forever.
         """
         self._assert_writable()
+        self._probe_miss_streak = 0  # file geometry changes: re-arm probe
         path = os.path.join(self.root, "_manifest", f"v{seq:08d}.json")
         if not os.path.exists(path):
             raise FileNotFoundError(
@@ -858,6 +859,7 @@ class LakeTable:
     def overwrite(self, df: DataFrame) -> None:
         """Full-table replace (CTAS / initial load).  Clears any live
         merge-on-read deltas — they described the replaced state."""
+        self._probe_miss_streak = 0  # file geometry changes: re-arm probe
         entries, bucket_rows = self._write_files(self._conform(df))
         self._write_manifest(
             self._next_manifest(
@@ -869,6 +871,7 @@ class LakeTable:
 
     def append(self, df: DataFrame) -> None:
         """Blind append (reference S11: ``write.mode('append').saveAsTable``)."""
+        self._probe_miss_streak = 0  # new files may be disjoint: re-arm probe
         entries, bucket_rows = self._write_files(self._conform(df))
         m = self._next_manifest()
         m["files"] = m["files"] + entries
@@ -933,9 +936,12 @@ class LakeTable:
            beat the bucket-range test.  Auto mode also carries a per-handle
            hysteresis: after ``write.merge.prune.probe_miss_limit``
            (default 2) consecutive probes that cleaned nothing beyond
-           tier 1, the handle stops probing until compact()/rebucket()
-           re-arms it — a steady stream pays the probe only for its first
-           batches.
+           tier 1, the handle stops probing until the next non-merge
+           file-geometry commit (append/overwrite/rollback/compact/
+           rebucket/bucket-rewrite) re-arms it — a steady stream pays the
+           probe only for its first batches.  Misses are counted only
+           when tier 1 had usable ranges; when the probe is the ONLY
+           tier (cross-domain change key) it never trips.
 
         Returns ``(candidate_paths, clean_entries, clean_rows_per_bucket)``
         or ``None`` when pruning is not applicable (no stats, unsupported
@@ -1004,13 +1010,17 @@ class LakeTable:
         # consecutive zero-yield probes this HANDLE stops probing — a
         # steady CDC stream pays the probe for its first batches, learns
         # the free tier carries its shape, and drops to zero overhead.
-        # compact()/rebucket() re-arm it (file geometry changed).  0
-        # disables the hysteresis.
-        miss_limit = int(
-            self.manifest["properties"].get(
-                "write.merge.prune.probe_miss_limit", "2"
+        # Every non-merge file-geometry commit (append/overwrite/rollback/
+        # compact/rebucket/bucket-rewrite) re-arms it.  0 disables the
+        # hysteresis.
+        try:
+            miss_limit = int(
+                self.manifest["properties"].get(
+                    "write.merge.prune.probe_miss_limit", "2"
+                )
             )
-        )
+        except (TypeError, ValueError):
+            miss_limit = 2  # malformed property degrades, never fails ingest
         probe_ok = probe_mode == "always" or (
             probe_mode == "auto"
             and n_changes is not None
@@ -1072,9 +1082,15 @@ class LakeTable:
             probe_cleans = [
                 f for p, f in prunable.items() if p not in candidates
             ]
-            self._probe_miss_streak = (
-                0 if probe_cleans else self._probe_miss_streak + 1
-            )
+            if ranges:
+                # a zero-yield probe only counts as a miss when tier 1 had
+                # information ("the free tier carries this shape"); with no
+                # usable ranges (cross-domain key, legacy bucket_stats) the
+                # probe is the ONLY tier — tripping the hysteresis there
+                # would permanently disable all pruning for the handle
+                self._probe_miss_streak = (
+                    0 if probe_cleans else self._probe_miss_streak + 1
+                )
             clean.extend(probe_cleans)
         clean_rows: dict[int, int] = {}
         for f in clean:
@@ -1630,6 +1646,7 @@ class LakeTable:
         rewrite came from a MOR-resolved :meth:`read`, so the buckets'
         deltas are folded in and must leave the manifest with the old files
         — keeping them would re-apply them on top of the rewrite."""
+        self._probe_miss_streak = 0  # file geometry changes: re-arm probe
         kept = [f for f in self.manifest["files"] if f["bucket"] not in touched]
         kept_deltas = [
             e for e in self.manifest.get("deltas", []) if e["bucket"] not in touched

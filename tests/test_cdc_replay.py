@@ -213,3 +213,10 @@ def test_monotone_frontier_replay_prunes_and_matches_oracle(spark, tmp_root):
         t_on.read().exceptAll(t_off.read()).count() == 0
         and t_off.read().exceptAll(t_on.read()).count() == 0
     )
+
+
+def test_key_locality_zero_rejected(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key_locality"):
+        change_events(spark, 100, key_locality=0)

@@ -380,3 +380,54 @@ def test_probe_hysteresis_disables_zero_yield_probes(spark, tmp_root):
     t.compact()
     assert t._probe_miss_streak == 0
     assert t.read().count() == 1000
+
+
+def test_hysteresis_never_trips_when_probe_is_only_tier(spark, tmp_root):
+    """Cross-domain change keys disable tier 1, so zero-yield probes carry
+    no 'shape learned' signal — the streak must NOT advance, and a later
+    sparse batch still gets probe pruning.  (The bucket column is separate
+    and correctly typed — a string-typed key on a key-bucketed table would
+    hash wrong buckets and is not a valid merge input.)"""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"),
+        [("id", "bigint"), ("grp", "string"), ("v", "int")],
+        key_cols=["id"], bucket_col="grp", num_buckets=4,
+        properties={"write.sort.cols": "id"},
+    )
+
+    def h(s):
+        return spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(s)), F.lit(4)).cast("int")
+        ).first()[0]
+
+    ga = "gA"
+    gb = next(g for g in ("gB", "gC", "gD", "gE") if h(g) != h(ga))
+    grp_of = F.when(F.col("id") < 150, F.lit(ga)).otherwise(F.lit(gb))
+    for i in range(3):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id"), grp_of.alias("grp"), F.lit(0).cast("int").alias("v")
+            )
+        )
+
+    def str_keyed(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("string").alias("id"),
+            F.when(F.col("id") < 150, F.lit(ga)).otherwise(F.lit(gb)).alias("grp"),
+            F.lit(1).cast("int").alias("v"),
+            F.lit("upsert").alias("op"),
+        )
+
+    # two wide string-keyed batches confined to ga's bucket: probe runs,
+    # cleans nothing, but the streak must stay 0 (tier 1 had no ranges to
+    # learn from — WITHOUT the guard it would hit the miss limit here and
+    # the later sparse probe below would be skipped)
+    for _ in range(2):
+        t.merge(str_keyed(0, 150), broadcast_changes=True)
+        assert t._probe_miss_streak == 0
+    # sparse batch on gb's UNTOUCHED bucket (3 intact files: id ranges
+    # [150,200) and [200,300)): keys {160,161} exclude the [200,300) file,
+    # so the probe — still armed — must keep it
+    st = t.merge(str_keyed(160, 162), broadcast_changes=True)
+    assert st["files_kept"] > 0
+    assert t.read().count() == 300
