@@ -1252,6 +1252,103 @@ def q_ngram_repetition(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history maintained INCREMENTALLY by the engine
+    (cdc/scd.py): the events table becomes a 4-micro-batch change stream
+    keyed by user_id, each batch applied through the exactly-once lake
+    MERGE (closes the prior version, opens the next), then the whole
+    version table is read back.  The oracle is the from-scratch definition
+    — one LEAD window over all events at once — so a green row proves
+    incremental maintenance ≡ batch recomputation."""
+    import tempfile
+
+    from data_migration_validator_spark.cdc.scd import (
+        make_scd2_table,
+        scd2_replay,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    stream = ev.select(
+        F.col("event_id").alias("event_seq"),
+        F.lit("update").alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+        F.least(F.lit(3), (F.col("event_id") * 4 / F.lit(n)).cast("int")).alias(
+            "batch_hint"
+        ),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = make_scd2_table(
+            spark,
+            f"{tmp}/hist",
+            ["user_id"],
+            [("event_type", "string"), ("value", "double")],
+            key_types=["bigint"],
+            num_buckets=8,
+        )
+        scd2_replay(
+            t,
+            stream,
+            key_cols=["user_id"],
+            order_col="event_seq",
+            payload_cols=["event_type", "value"],
+        )
+        out = t.read().orderBy("user_id", "valid_from_seq")
+        # Rebuild from collected rows: the table lives in the tmp dir.
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase event enriched with
+    the user's most recent signup at-or-before it — union + carry-forward
+    window, ONE shuffle, no join node (plan-asserted in tests).  The right
+    side is pre-deduped per (user_id, ts) so the match is well-defined in
+    every engine; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from data_migration_validator_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts",
+        right_cols=["signup_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "signup_value",
+        F.col("ts_right").alias("signup_ts"),
+    ).orderBy("event_id")
+
+
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): 30-minute-gap
+    sessions per user over the events stream; per-session event count,
+    bounds, and exact µs duration.  lag + running-sum compiled to one
+    exchange (plan-asserted in tests)."""
+    from data_migration_validator_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        session_stats(ev, ["user_id"], "ts", gap_s=1800, tie_col="event_id")
+        .select(
+            "user_id", "session_id", "n_events", "start_ts", "end_ts",
+            "duration_us",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1316,6 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "decontaminate": q_decontaminate,
         "shard_packing": q_pack_shards,
+        "scd2_history": q_scd2_history,
+        "asof_join": q_asof_join,
+        "sessionization": q_sessionization,
     }
 
 
@@ -2084,5 +2184,64 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-09-01 00:00:00'
         GROUP BY 1 ORDER BY 1
+    """
+    # --- SCD2: incremental engine maintenance must equal the from-scratch
+    # window definition (every event opens a version, the key's next event
+    # closes it, NULL valid_to = current).
+    sqls["scd2_history"] = """
+        SELECT user_id,
+               event_id AS valid_from_seq,
+               event_type,
+               value,
+               LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS valid_to_seq
+        FROM events
+        ORDER BY user_id, valid_from_seq
+    """
+    # --- as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # union+carry-forward implementation (right side pre-deduped per
+    # (user_id, ts) so the match is unambiguous in both engines).
+    sqls["asof_join"] = """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        ), signups AS (
+            SELECT user_id, ts, MAX(value) AS signup_value
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               s.signup_value, s.ts AS signup_ts
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id
+    """
+    # --- sessionization: lag marks starts, running sum numbers sessions;
+    # exact integer-µs gap arithmetic on both sides.
+    sqls["sessionization"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts)
+                             - LAG(epoch_us(ts)) OVER w > 1800000000
+                          OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        FROM numbered
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """
     return sqls

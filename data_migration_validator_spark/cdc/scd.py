@@ -1,0 +1,221 @@
+"""SCD Type-2 dimension maintenance from the change stream.
+
+The replay path (``cdc.apply``) keeps the CURRENT row per key — reference
+semantics (latest-per-key window, migration-data-validation.py:1802-1804).
+This module keeps the *history*: every change event opens a new version row
+and closes the previous one, the classic slowly-changing-dimension type 2
+shape a CDC warehouse sink maintains alongside the mirror table.
+
+Semantics (the from-scratch definition every incremental run must converge
+to; the pytest + driver oracles state it as one SQL window):
+
+    over all DML events per key, ordered by ``order_col``:
+      * every non-delete event yields a version row with
+        ``valid_from_seq = event_seq`` and
+        ``valid_to_seq   = the NEXT event's seq for that key (any op),
+                           NULL while no later event exists`` — the
+        half-open interval [from, to);
+      * delete events yield no row (they only close the prior version);
+      * a row is *current* iff ``valid_to_seq IS NULL``.
+
+Incremental plan per micro-batch (the 100-TB shape):
+
+    1. one window over the batch per key (ordered by ``order_col``):
+       ``lead(event_seq)`` chains the batch's own versions — O(batch);
+    2. the batch's first event per key must close the table's current
+       version: ONE aggregation of the batch gives (key → min seq) AND the
+       touched buckets AND the key count (single action, same fusion move
+       as ``apply_batch``);
+    3. the close-set scan reads ONLY the touched buckets (file-pruned, the
+       same pruning MERGE itself uses) filtered to ``valid_to_seq IS NULL``,
+       joined to the (broadcast when small) min-seq frame;
+    4. closes ∪ new versions land through ONE exactly-once
+       :meth:`LakeTable.merge` keyed ``(key…, valid_from_seq)`` — distinct
+       by construction (a close keeps its old valid_from; every open uses
+       its own event seq), so the pre-deduped MERGE contract holds and a
+       redelivered batch is a no-op.
+
+Cross-batch correctness needs batches applied in ``order_col`` order (the
+replay loop's contract already).  Out-of-contract ops are ignored, matching
+``apply_batch``'s trusted-fixture default; route a quarantine table upstream
+when the stream is untrusted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..lake.schema import TableSchema
+from ..lake.table import LakeTable
+
+VALID_FROM = "valid_from_seq"
+VALID_TO = "valid_to_seq"
+
+
+def make_scd2_table(
+    spark,
+    root: str,
+    key_cols: list[str],
+    payload_cols: list[tuple[str, str]],
+    key_types: list[str] | None = None,
+    num_buckets: int = 16,
+) -> LakeTable:
+    """Create (or load) a version-history table: natural key columns +
+    ``valid_from_seq`` (together the table key — one row per version) +
+    payload + ``valid_to_seq``.  Bucketed on the FIRST natural key column,
+    so one entity's whole history co-locates (the close-set scan and any
+    per-entity history read prune to one bucket)."""
+    if LakeTable.exists(root):
+        return LakeTable.load(spark, root)
+    ktypes = key_types or ["string"] * len(key_cols)
+    fields = (
+        list(zip(key_cols, ktypes))
+        + [(VALID_FROM, "bigint")]
+        + list(payload_cols)
+        + [(VALID_TO, "bigint")]
+    )
+    return LakeTable.create(
+        spark,
+        root,
+        TableSchema.from_pairs(fields),
+        key_cols=[*key_cols, VALID_FROM],
+        bucket_col=key_cols[0],
+        num_buckets=num_buckets,
+    )
+
+
+def scd2_apply(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id=None,
+    key_cols: list[str] = ("repo", "path"),
+    order_col: str = "event_seq",
+    payload_cols: list[str] = ("commit", "lang", "content"),
+    delete_value: str = "delete",
+    ops: tuple[str, ...] = ("insert", "update", "delete"),
+    broadcast_max_keys: int = 500_000,
+) -> dict:
+    """Apply one micro-batch of change events to the SCD2 history table.
+
+    Idempotent on ``batch_id`` (skips via the table's commit log before any
+    Spark work).  Returns {versions_opened, versions_closed, skipped}.
+    """
+    if batch_id is not None and table.has_batch(batch_id):
+        return {"skipped": True, "batch_id": batch_id}
+    keys = list(key_cols)
+    dml = events.filter(F.col("op").isin(*ops))
+
+    # 1. within-batch version chaining: one shuffle on the natural key.
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    chained = dml.withColumn("__next_seq", F.lead(order_col).over(w))
+    opens = chained.filter(F.col("op") != delete_value).select(
+        *keys,
+        F.col(order_col).cast("bigint").alias(VALID_FROM),
+        *payload_cols,
+        F.col("__next_seq").cast("bigint").alias(VALID_TO),
+    )
+
+    # 2. ONE fused discovery action: per-key first seq rolled up per bucket
+    #    → (touched buckets, total keys) driver-side, while the per-key
+    #    frame itself stays distributed for the close join.
+    firsts = (
+        dml.groupBy(*keys)
+        .agg(F.min(order_col).cast("bigint").alias("__close_seq"))
+        .persist()
+    )
+    try:
+        bucket_of = table.bucket_expr(keys[0])
+        agg = (
+            firsts.withColumn("__bucket", bucket_of)
+            .agg(
+                F.collect_set("__bucket").alias("buckets"),
+                F.count(F.lit(1)).alias("n_keys"),
+            )
+            .first()
+        )
+        touched = sorted(int(b) for b in (agg["buckets"] or []))
+        n_keys = int(agg["n_keys"])
+        if not touched:
+            # empty batch (e.g. pure schema events): just mark it applied
+            if batch_id is not None:
+                table._record_batch(
+                    batch_id,
+                    int(table.manifest["seq"]),
+                    {"versions_opened": 0},
+                )
+            return {"versions_opened": 0, "versions_closed": 0, "skipped": False}
+
+        # 3. close the table's current version for every touched key:
+        #    bucket-pruned scan of open rows only, broadcast the small
+        #    min-seq frame (shuffle join fallback for backfill-size batches).
+        current = table.read(buckets=touched).filter(F.col(VALID_TO).isNull())
+        rhs = F.broadcast(firsts) if n_keys <= broadcast_max_keys else firsts
+        closes = current.alias("c").join(rhs.alias("f"), on=keys, how="inner")
+        closes = closes.select(
+            *keys,
+            F.col(f"c.{VALID_FROM}").alias(VALID_FROM),
+            *[F.col(f"c.{p}").alias(p) for p in payload_cols],
+            F.col("f.__close_seq").alias(VALID_TO),
+        )
+
+        # 4. one exactly-once MERGE: closes are updates of existing version
+        #    rows, opens are inserts; keys (natural key + valid_from) are
+        #    distinct across the union by construction.
+        change_set = closes.unionByName(opens).withColumn("op", F.lit("upsert"))
+        stats = table.merge(change_set, op_col="op", batch_id=batch_id)
+    finally:
+        firsts.unpersist()
+    return {
+        "versions_opened": stats.get("rows_upserted", 0),
+        "versions_closed": 0,  # folded into rows_upserted; kept for shape
+        "touched_buckets": stats.get("touched_buckets"),
+        "skipped": False,
+    }
+
+
+def scd2_replay(
+    table: LakeTable,
+    events: DataFrame,
+    batch_col: str = "batch_hint",
+    **kwargs,
+) -> dict:
+    """Replay an already-materialized event frame batch-by-batch (ordered by
+    ``batch_col``) — the test/driver harness around :func:`scd2_apply`; the
+    streaming path wraps the same apply in foreachBatch."""
+    batches = [
+        int(r[batch_col])
+        for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
+    ]
+    opened = 0
+    for b in batches:
+        st = scd2_apply(
+            table, events.filter(F.col(batch_col) == b), batch_id=b, **kwargs
+        )
+        opened += st.get("versions_opened", 0)
+    return {"batches": len(batches), "versions_opened": opened}
+
+
+def scd2_expected(
+    events: DataFrame,
+    key_cols: list[str] = ("repo", "path"),
+    order_col: str = "event_seq",
+    payload_cols: list[str] = ("commit", "lang", "content"),
+    delete_value: str = "delete",
+    ops: tuple[str, ...] = ("insert", "update", "delete"),
+) -> DataFrame:
+    """From-scratch batch oracle: the module-docstring window over ALL
+    events at once.  The incremental table must equal this exactly."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        events.filter(F.col("op").isin(*ops))
+        .withColumn(VALID_TO, F.lead(order_col).over(w).cast("bigint"))
+        .filter(F.col("op") != delete_value)
+        .select(
+            *keys,
+            F.col(order_col).cast("bigint").alias(VALID_FROM),
+            *payload_cols,
+            VALID_TO,
+        )
+    )
