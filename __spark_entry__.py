@@ -1349,6 +1349,40 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality suite (validation/quality.py): NOT NULL,
+    uniqueness, range/set/regex domains, an arbitrary predicate, and a
+    referential-integrity rule over lineitem→orders.  All row-local +
+    unique rules run as ONE aggregation pass (plan-asserted in tests); the
+    FK rule is one anti-join count.  Oracle states each count as plain
+    SQL."""
+    from data_migration_validator_spark.validation.quality import (
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        run_checks,
+        satisfies,
+        unique,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return run_checks(
+        li,
+        [
+            not_null("l_orderkey"),
+            unique("l_orderkey", "l_linenumber"),
+            in_range("l_quantity", 1, 50),
+            in_set("l_returnflag", ["A", "N", "R"]),
+            matches("l_linestatus", "^[OF]$"),
+            satisfies("l_discount BETWEEN 0 AND 0.1", "discount_bounds"),
+            foreign_key(["l_orderkey"], orders, ["o_orderkey"]),
+        ],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1416,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "asof_join": q_asof_join,
         "sessionization": q_sessionization,
+        "dq_checks": q_dq_checks,
     }
 
 
@@ -2243,5 +2278,53 @@ def oracle_sql() -> dict[str, str]:
         FROM numbered
         GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """
+    # --- DQ suite: each rule's violation count restated as plain SQL.
+    # Null semantics: domain rules fail on NULL (NOT COALESCE(pred, FALSE));
+    # unique counts surplus rows with NULL keys grouping (ROW() distinct);
+    # the FK rule exempts NULL keys (SQL FK semantics).
+    sqls["dq_checks"] = """
+        WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+        v AS (
+          SELECT 1 AS ord, 'not_null(l_orderkey)' AS rule,
+                 'not_null' AS kind, 'l_orderkey' AS target,
+                 (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+                     AS violations
+          UNION ALL
+          SELECT 2, 'unique(l_orderkey,l_linenumber)', 'unique',
+                 'l_orderkey,l_linenumber',
+                 (SELECT COUNT(*)
+                         - COUNT(DISTINCT ROW(l_orderkey, l_linenumber))
+                  FROM lineitem)
+          UNION ALL
+          SELECT 3, 'in_range(l_quantity)', 'in_range', 'l_quantity',
+                 (SELECT COUNT(*) FROM lineitem
+                  WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE))
+          UNION ALL
+          SELECT 4, 'in_set(l_returnflag)', 'in_set', 'l_returnflag',
+                 (SELECT COUNT(*) FROM lineitem
+                  WHERE NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE))
+          UNION ALL
+          SELECT 5, 'matches(l_linestatus)', 'matches', 'l_linestatus',
+                 (SELECT COUNT(*) FROM lineitem
+                  WHERE NOT COALESCE(
+                      regexp_matches(l_linestatus, '^[OF]$'), FALSE))
+          UNION ALL
+          SELECT 6, 'discount_bounds', 'satisfies',
+                 'l_discount BETWEEN 0 AND 0.1',
+                 (SELECT COUNT(*) FROM lineitem
+                  WHERE NOT COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE))
+          UNION ALL
+          SELECT 7, 'foreign_key(l_orderkey)', 'foreign_key', 'l_orderkey',
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+                      SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey))
+        )
+        SELECT rule, kind, target,
+               CAST(violations AS BIGINT) AS violations,
+               (SELECT total FROM t) AS total,
+               CASE WHEN violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+        FROM v ORDER BY ord
     """
     return sqls

@@ -190,6 +190,49 @@ def _drain_listener(listener, max_wait_s: float = 10.0) -> None:
         _time.sleep(0.3)
 
 
+def run_scd2_stream_once(
+    history: LakeTable,
+    events_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    timeout_s: int = 600,
+    **scd_kwargs,
+) -> None:
+    """Tail the event directory into an SCD Type-2 *history* table
+    (``cdc.scd.scd2_apply`` in foreachBatch) — the streaming form of
+    :func:`cdc.scd.scd2_replay`, sharing its exactly-once MERGE keyed on
+    the stream's batchId.
+
+    Ordering contract: :func:`scd2_apply` needs micro-batches applied in
+    ``order_col`` order per key.  An availableNow file tail delivers files
+    in listing order, the same contract batch replay relies on (the fixture
+    writes ``batch_hint=N`` directories in sequence); a source that can
+    reorder needs the stateful ordering gate upstream.  Safe to re-run with
+    the same checkpoint: replayed batchIds no-op via the commit log."""
+    spark = history.spark
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+
+    def _sink(batch_df, batch_id: int):
+        from ..cdc.scd import scd2_apply
+
+        scd2_apply(history, batch_df, batch_id=f"scd2-{batch_id}", **scd_kwargs)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+
+
 def start_demux_stream(
     tables: dict[str, LakeTable],
     events_dir: str,

@@ -99,3 +99,30 @@ def test_delete_closes_and_reinsert_reopens(spark, tmp_path):
         (3, None, "v3"),  # reopened after the delete, current
     ]
     assert _rows(t.read()) == _rows(scd2_expected(ev))
+
+
+def test_streaming_scd2_matches_batch_oracle(spark, tmp_path):
+    """availableNow tail → foreachBatch scd2_apply: the streamed history
+    table equals the from-scratch window oracle, and a checkpoint-resumed
+    rerun with no new input commits nothing (exactly-once)."""
+    from data_migration_validator_spark.cdc.events import write_events_batched
+    from data_migration_validator_spark.streaming.stream import (
+        run_scd2_stream_once,
+    )
+
+    ev = change_events(
+        spark, n_events=2000, n_repos=15, paths_per_repo=8, seed=11,
+        batch_size=500,
+    )
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    write_events_batched(ev, events_dir)
+
+    t = _hist(spark, tmp_path, "h_stream")
+    run_scd2_stream_once(t, events_dir, ckpt, max_files_per_trigger=4)
+    assert _rows(t.read()) == _rows(scd2_expected(ev))
+
+    seq = t.manifest["seq"]
+    run_scd2_stream_once(t, events_dir, ckpt, max_files_per_trigger=4)
+    assert t.manifest["seq"] == seq  # resume: nothing re-applied
+    assert _rows(t.read()) == _rows(scd2_expected(ev))
