@@ -1383,6 +1383,20 @@ def q_dq_checks(spark, sf_dir):
     )
 
 
+def q_column_profile(spark, sf_dir):
+    """One-pass column profiler (validation/profile.py): rows / nulls /
+    exact distinct / typed min-max per lineitem column.  Exact-distinct
+    mode for the oracle; production uses the HLL single-pass mode
+    (no Expand, plan-asserted in tests).  The profile is the zero-join
+    validation tier — one scan per side instead of a row-level shuffle."""
+    from data_migration_validator_spark.validation.profile import (
+        profile_columns,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(li, exact_distinct=True).orderBy("column")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1451,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionization": q_sessionization,
         "dq_checks": q_dq_checks,
+        "column_profile": q_column_profile,
     }
 
 
@@ -2327,4 +2342,40 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
         FROM v ORDER BY ord
     """
+    # --- column profile: exact per-column stats; typed min/max slots so no
+    # engine-dependent double/timestamp string rendering is compared.
+    num = ("CAST(MIN({c}) AS DOUBLE) AS min_num, "
+           "CAST(MAX({c}) AS DOUBLE) AS max_num, "
+           "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str, "
+           "CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts")
+    txt = ("CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+           "MIN({c}) AS min_str, MAX({c}) AS max_str, "
+           "CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts")
+    tim = ("CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+           "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str, "
+           "MIN({c}) AS min_ts, MAX({c}) AS max_ts")
+    cols = [
+        ("l_orderkey", "bigint", num), ("l_partkey", "bigint", num),
+        ("l_suppkey", "bigint", num), ("l_linenumber", "int", num),
+        ("l_quantity", "double", num), ("l_extendedprice", "double", num),
+        ("l_discount", "double", num), ("l_tax", "double", num),
+        ("l_returnflag", "string", txt), ("l_linestatus", "string", txt),
+        # Spark reads the parquet column as timestamp_ntz (no UTC adjust)
+        ("l_shipdate", "timestamp_ntz", tim),
+    ]
+    legs = [
+        (
+            f"SELECT '{c}' AS \"column\", '{dt}' AS dtype, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) "
+            f"AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            + slots.format(c=c)
+            + " FROM lineitem"
+        )
+        for c, dt, slots in cols
+    ]
+    sqls["column_profile"] = (
+        "SELECT * FROM (" + " UNION ALL ".join(legs) + ') ORDER BY "column"'
+    )
     return sqls

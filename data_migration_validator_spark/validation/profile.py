@@ -1,0 +1,167 @@
+"""Column profiling and aggregate-level table comparison.
+
+``profile_columns`` computes per-column statistics (rows, nulls, distinct,
+typed min/max) for a whole table; ``profile_compare`` diffs two profiles.
+Together they are the ZERO-JOIN validation tier: at 100 TB a full-outer
+row reconcile shuffles both tables, while a profile compare is one scan of
+each side and a driver-side diff of a few hundred scalar rows — the right
+first gate before paying for row-level checks (reference's summary-first
+flow, migration-data-validation.py:700-780, generalized to every column).
+
+Plan shape: all non-distinct statistics fold into ONE aggregation pass
+(map-side partial, one-row exchange).  Distinct counts:
+
+- ``exact_distinct=False`` (default): ``approx_count_distinct`` (HLL++,
+  rsd 0.01) rides the SAME single pass — no Expand, mergeable sketches,
+  the 100-TB mode;
+- ``exact_distinct=True``: exact ``count_distinct`` per column makes
+  Catalyst plan an Expand (input × #columns rows through one shuffle) —
+  affordable at test scale, what the DuckDB oracle checks.
+
+min/max are emitted into TYPE-SAFE slots — (min_num, max_num) for numeric
+columns, (min_str, max_str) for strings, (min_ts, max_ts) for date/time —
+so the report needs no lossy cast-to-string of doubles or timestamps
+(min/max are order-insensitive exact values; a string rendering would be
+engine-dependent).  Columns of other types (arrays, binary, …) profile
+rows/nulls/distinct only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_TIME = (T.TimestampType, T.TimestampNTZType, T.DateType)
+
+_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType(), False),
+        T.StructField("dtype", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_nulls", T.LongType(), False),
+        T.StructField("n_distinct", T.LongType(), False),
+        T.StructField("min_num", T.DoubleType(), True),
+        T.StructField("max_num", T.DoubleType(), True),
+        T.StructField("min_str", T.StringType(), True),
+        T.StructField("max_str", T.StringType(), True),
+        T.StructField("min_ts", T.TimestampType(), True),
+        T.StructField("max_ts", T.TimestampType(), True),
+    ]
+)
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One profile row per column: (column, dtype, n_rows, n_nulls,
+    n_distinct, min_num, max_num, min_str, max_str, min_ts, max_ts).
+    ``n_distinct`` counts non-null values (SQL COUNT(DISTINCT col)).
+    """
+    spark: SparkSession = df.sparkSession
+    names = cols or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    unknown = [c for c in names if c not in fields]
+    if unknown:
+        raise ValueError(f"unknown columns: {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, c in enumerate(names):
+        col = F.col(c)
+        aggs.append(
+            F.sum(col.isNull().cast("bigint")).alias(f"__n{i}")
+        )
+        aggs.append(
+            (F.count_distinct(col) if exact_distinct
+             else F.approx_count_distinct(col, rsd=0.01))
+            .cast("bigint").alias(f"__d{i}")
+        )
+        dt = fields[c]
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.min(col).cast("double").alias(f"__lo{i}"))
+            aggs.append(F.max(col).cast("double").alias(f"__hi{i}"))
+        elif isinstance(dt, T.StringType):
+            aggs.append(F.min(col).alias(f"__lo{i}"))
+            aggs.append(F.max(col).alias(f"__hi{i}"))
+        elif isinstance(dt, _TIME):
+            aggs.append(F.min(col).cast("timestamp").alias(f"__lo{i}"))
+            aggs.append(F.max(col).cast("timestamp").alias(f"__hi{i}"))
+
+    row = df.agg(*aggs).first()
+    total = int(row["__rows"])
+    out = []
+    for i, c in enumerate(names):
+        dt = fields[c]
+        lo = row[f"__lo{i}"] if f"__lo{i}" in row.__fields__ else None
+        hi = row[f"__hi{i}"] if f"__hi{i}" in row.__fields__ else None
+        num = isinstance(dt, _NUMERIC)
+        s = isinstance(dt, T.StringType)
+        ts = isinstance(dt, _TIME)
+        out.append(
+            (
+                c, dt.simpleString(), total,
+                int(row[f"__n{i}"] or 0), int(row[f"__d{i}"] or 0),
+                lo if num else None, hi if num else None,
+                lo if s else None, hi if s else None,
+                lo if ts else None, hi if ts else None,
+            )
+        )
+    return spark.createDataFrame(out, _PROFILE_SCHEMA)
+
+
+_METRICS = (
+    "n_rows", "n_nulls", "n_distinct",
+    "min_num", "max_num", "min_str", "max_str", "min_ts", "max_ts",
+)
+
+
+def profile_compare(
+    src: DataFrame,
+    tgt: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+    distinct_rtol: float = 0.0,
+) -> DataFrame:
+    """Diff two tables by their column profiles: one row per (column,
+    metric) that DIFFERS, with both sides rendered as strings — empty
+    result means the profiles agree.  Cost: one scan per side, no join of
+    the data (the diff runs over 2×#columns profile rows).
+
+    ``distinct_rtol``: with approximate distinct counts (the 100-TB mode),
+    treat n_distinct values within this relative tolerance as equal —
+    e.g. 0.03 for the default rsd 0.01 sketches.  Ignored (use 0.0) with
+    ``exact_distinct=True``.
+    """
+    shared = cols or [c for c in src.columns if c in set(tgt.columns)]
+    p_s = {r["column"]: r for r in
+           profile_columns(src, shared, exact_distinct).collect()}
+    p_t = {r["column"]: r for r in
+           profile_columns(tgt, shared, exact_distinct).collect()}
+    out = []
+    for c in shared:
+        a, b = p_s[c], p_t[c]
+        for m in _METRICS:
+            va, vb = a[m], b[m]
+            if m == "n_distinct" and distinct_rtol > 0:
+                base = max(abs(va or 0), abs(vb or 0), 1)
+                if abs((va or 0) - (vb or 0)) / base <= distinct_rtol:
+                    continue
+            if va != vb:
+                out.append((c, m, str(va), str(vb)))
+    return src.sparkSession.createDataFrame(
+        out,
+        T.StructType(
+            [
+                T.StructField("column", T.StringType(), False),
+                T.StructField("metric", T.StringType(), False),
+                T.StructField("src_value", T.StringType(), True),
+                T.StructField("tgt_value", T.StringType(), True),
+            ]
+        ),
+    )
