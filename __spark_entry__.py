@@ -1397,6 +1397,30 @@ def q_column_profile(spark, sf_dir):
     return profile_columns(li, exact_distinct=True).orderBy("column")
 
 
+def q_value_histogram(spark, sf_dir):
+    """Equi-width value histograms (validation/drift.py): two lineitem
+    columns bucketed in ONE scan + ONE tiny shuffle (inline (column,
+    bucket) expansion, plan-asserted in tests).  width_bucket semantics
+    via an explicit floor() formula evaluated in the same IEEE order by
+    the DuckDB oracle, so boundary values bucket identically.  Feeds the
+    PSI/KS drift report (pytest-checked — PSI is driver-side float math)."""
+    from data_migration_validator_spark.validation.drift import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    h = histogram(
+        li, {"l_quantity": (0.0, 50.0), "l_discount": (0.0, 0.12)},
+        n_buckets=10,
+    )
+    return (
+        h.select(
+            "column",
+            F.coalesce(F.col("bucket"), F.lit(-1)).alias("bucket"),
+            "n",
+        )
+        .orderBy("column", "bucket")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1466,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "dq_checks": q_dq_checks,
         "column_profile": q_column_profile,
+        "value_histogram": q_value_histogram,
     }
 
 
@@ -2377,5 +2402,28 @@ def oracle_sql() -> dict[str, str]:
     ]
     sqls["column_profile"] = (
         "SELECT * FROM (" + " UNION ALL ".join(legs) + ') ORDER BY "column"'
+    )
+    # --- value histogram: the same explicit width_bucket formula, same
+    # IEEE-double operation order ((x - lo) / (hi - lo) * n), NULLs → -1.
+    def _hist_leg(c, lo, hi, n):
+        span = float(hi) - float(lo)
+        b = (
+            f"CASE WHEN {c} IS NULL THEN -1 "
+            f"WHEN CAST({c} AS DOUBLE) < {lo!r} THEN 0 "
+            f"WHEN CAST({c} AS DOUBLE) >= {hi!r} THEN {n + 1} "
+            f"ELSE CAST(FLOOR((CAST({c} AS DOUBLE) - {lo!r}) / {span!r} "
+            f"* {float(n)!r}) AS BIGINT) + 1 END"
+        )
+        return (
+            f"SELECT '{c}' AS \"column\", CAST({b} AS BIGINT) AS bucket, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 2"
+        )
+
+    sqls["value_histogram"] = (
+        "SELECT * FROM ("
+        + _hist_leg("l_quantity", 0.0, 50.0, 10)
+        + " UNION ALL "
+        + _hist_leg("l_discount", 0.0, 0.12, 10)
+        + ') ORDER BY "column", bucket'
     )
     return sqls

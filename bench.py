@@ -67,7 +67,29 @@ HEADLINE = [
     "simhash_near_dup",
     "minhash_near_dup",
     "event_quarantine",
+    "asof_join",
+    "sessionization",
+    "dq_checks",
+    "column_profile_hll",
+    "value_histogram",
 ]
+
+
+def _bench_only_queries():
+    """Bench-local variants with no driver oracle: the PRODUCTION profile
+    path is the HLL single pass (no Expand); the driver's column_profile
+    query uses exact_distinct=True purely so DuckDB can verify it, which
+    plans an 11-column Expand — representative of the oracle gate, not of
+    what runs at 100 TB."""
+    from data_migration_validator_spark.validation.profile import (
+        profile_columns,
+    )
+
+    def column_profile_hll(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return profile_columns(li, exact_distinct=False).orderBy("column")
+
+    return {"column_profile_hll": column_profile_hll}
 
 
 def _wait_for_quiet(max_load: float, timeout_s: int = 300) -> None:
@@ -258,6 +280,57 @@ def bench_cdc_stream(
             "events_per_sec": round(n_events / stream_s, 1),
             "lineage_rows": lineage.read().count(),
             "verified": _verify(table, ev),
+        }
+
+
+def bench_cdc_scd2(
+    spark, n_events: int, n_batches: int = 4, repeats: int = 2,
+    max_load: float = 8.0,
+) -> dict:
+    """SCD Type-2 history maintenance over the same fixture: every event
+    opens a version / closes the prior one through the incremental
+    per-batch MERGE (cdc/scd.py).  Verified: the maintained history equals
+    the from-scratch LEAD-window definition row-for-row (hash_reconcile
+    keyed on (repo, path, valid_from_seq))."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validator_spark.cdc.scd import (
+        make_scd2_table,
+        scd2_expected,
+        scd2_replay,
+    )
+    from data_migration_validator_spark.validation.reconcile import (
+        hash_reconcile,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _events_fixture(spark, tmp, n_events, n_batches)
+        events = spark.read.parquet(f"{tmp}/events")
+        walls, table = [], None
+        for i in range(max(1, repeats)):
+            _wait_for_quiet(max_load)
+            table = make_scd2_table(
+                spark, f"{tmp}/hist_{i}", ["repo", "path"],
+                [("commit", "string"), ("lang", "string"),
+                 ("content", "string")],
+                num_buckets=16,
+            )
+            t0 = time.monotonic()
+            scd2_replay(table, events)
+            walls.append(time.monotonic() - t0)
+        scd2_s = min(walls)
+        rec = hash_reconcile(
+            table.read(), scd2_expected(ev),
+            ["repo", "path", "valid_from_seq"],
+            ["commit", "lang", "content", "valid_to_seq"],
+        )
+        return {
+            "events": n_events,
+            "versions": table.row_count(),
+            "scd2_sec": round(scd2_s, 3),
+            "all_sec": [round(w, 3) for w in walls],
+            "events_per_sec": round(n_events / scd2_s, 1),
+            "verified": rec.filter(F.col("status") != "MATCH").count() == 0,
         }
 
 
@@ -464,7 +537,7 @@ def main():
     sf = float(m.group(1)) if m else 0.1  # non-sf-named dirs: report 0.1-scale events
     spark = get_spark("bench", cores=cpus)
 
-    qs = E.queries()
+    qs = {**E.queries(), **_bench_only_queries()}
 
     def _materialize(df):
         """Force the FULL advertised computation: a bare .count() lets the
@@ -509,6 +582,9 @@ def main():
     cdc_prune = bench_cdc_replay_prune(spark, n_events=n_ev, n_batches=4,
                                        repeats=repeats, max_load=max_load)
     per_query["cdc_replay_prune"] = cdc_prune["replay_sec"]
+    cdc_scd2 = bench_cdc_scd2(spark, n_events=n_ev, n_batches=4,
+                              repeats=repeats, max_load=max_load)
+    per_query["cdc_scd2"] = cdc_scd2["scd2_sec"]
     ivm = bench_ivm(spark, n_events=n_ev, repeats=repeats, max_load=max_load)
     per_query["ivm_refresh"] = ivm["refresh_sec"]
     per_query["ivm_recompute"] = ivm["recompute_sec"]
@@ -533,6 +609,7 @@ def main():
                 "cdc_stream": cdc_stream,
                 "cdc_demux": cdc_demux,
                 "cdc_prune": cdc_prune,
+                "cdc_scd2": cdc_scd2,
                 "ivm": ivm,
                 "stats_scan": sscan,
             }

@@ -30,6 +30,7 @@ from .schema_check import (  # noqa: F401
 from .summary import summary_from_annotated, validation_summary  # noqa: F401
 from .pipeline import run_validation  # noqa: F401
 from .quick import anomalous_keys, fetch_anomalous_rows, quick_validate  # noqa: F401
+from .drift import drift_report, histogram, ks_stat, psi  # noqa: F401
 from .profile import profile_columns, profile_compare  # noqa: F401
 from .quality import (  # noqa: F401
     Rule,
