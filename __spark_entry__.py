@@ -1421,6 +1421,27 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping-window document chunking (operators/chunking.py):
+    size 200 / overlap 40 character windows with deterministic
+    (doc_id, chunk_index) ids — a single codegen projection, ZERO shuffles
+    (plan-asserted in tests).  Oracle re-derives the same windows with
+    generate_series + substring."""
+    from data_migration_validator_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, size=200, overlap=40)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("bigint").alias("chunk_index"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_index")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1491,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "column_profile": q_column_profile,
         "value_histogram": q_value_histogram,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2426,4 +2448,28 @@ def oracle_sql() -> dict[str, str]:
         + _hist_leg("l_discount", 0.0, 0.12, 10)
         + ') ORDER BY "column", bucket'
     )
+    # --- chunking: same geometry (stride = size - overlap; last start =
+    # max(ceil((len - size)/stride), 0) * stride; final chunk may be short;
+    # empty/NULL docs emit nothing).  chunk_index = start / stride exactly.
+    sqls["chunk_documents"] = """
+        WITH d AS (
+            SELECT doc_id, COALESCE(text, '') AS t,
+                   LENGTH(COALESCE(text, '')) AS n
+            FROM documents
+        ), s AS (
+            SELECT doc_id, t,
+                   UNNEST(generate_series(
+                       0,
+                       GREATEST(CAST(CEIL((n - 200) / 160.0) AS INT), 0) * 160,
+                       160)) AS chunk_start
+            FROM d WHERE n > 0
+        )
+        SELECT doc_id,
+               CAST(chunk_start / 160 AS BIGINT) AS chunk_index,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               CAST(LENGTH(SUBSTRING(t, chunk_start + 1, 200)) AS BIGINT)
+                   AS chunk_len,
+               SUBSTRING(t, chunk_start + 1, 200) AS chunk_text
+        FROM s ORDER BY doc_id, chunk_index
+    """
     return sqls

@@ -52,14 +52,18 @@ from .mapping import (  # noqa: F401
 from .store import (  # noqa: F401
     make_anomaly_table,
     make_column_metrics_table,
+    make_dq_table,
     make_log_table,
     make_pk_table,
+    make_profile_table,
     make_summary_table,
     make_windowed_table,
     persist_anomalies,
     persist_column_metrics,
+    persist_dq,
     persist_log,
     persist_pk,
+    persist_profile,
     persist_summary,
     persist_windowed,
 )

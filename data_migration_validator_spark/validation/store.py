@@ -94,6 +94,35 @@ PK_SCHEMA = [
     ("pk_violations", "bigint"),
 ]
 
+DQ_SCHEMA = [
+    ("run_id", "string"),
+    ("table_family", "string"),
+    ("side", "string"),  # src | tgt
+    ("rule", "string"),
+    ("kind", "string"),
+    ("target", "string"),
+    ("violations", "bigint"),
+    ("total", "bigint"),
+    ("status", "string"),
+]
+
+PROFILE_SCHEMA = [
+    ("run_id", "string"),
+    ("table_family", "string"),
+    ("side", "string"),  # src | tgt
+    ("column", "string"),
+    ("dtype", "string"),
+    ("n_rows", "bigint"),
+    ("n_nulls", "bigint"),
+    ("n_distinct", "bigint"),
+    ("min_num", "double"),
+    ("max_num", "double"),
+    ("min_str", "string"),
+    ("max_str", "string"),
+    ("min_ts", "timestamp"),
+    ("max_ts", "timestamp"),
+]
+
 _STATUS_COLS = [c for c, _ in SUMMARY_SCHEMA if c.endswith("_status")]
 
 
@@ -166,6 +195,73 @@ def make_pk_table(spark: SparkSession, root: str) -> LakeTable:
     migration-data-validation.py:1444-1459)."""
     return _open(
         spark, root, PK_SCHEMA, ["run_id", "table_family", "side"], "table_family"
+    )
+
+
+def make_dq_table(spark: SparkSession, root: str) -> LakeTable:
+    """Single-table contract check results (validation/quality.py) — the
+    constraint surface a warehouse enforces by DDL but a lake does not;
+    no reference analog table (its checks are pairwise only)."""
+    return _open(
+        spark, root, DQ_SCHEMA,
+        ["run_id", "table_family", "side", "rule"], "table_family",
+    )
+
+
+def make_profile_table(spark: SparkSession, root: str) -> LakeTable:
+    """Per-column profile snapshots (validation/profile.py) — persisted so
+    drift between RUNS (yesterday's load vs today's) is one read-back diff,
+    no rescan of historical data."""
+    return _open(
+        spark, root, PROFILE_SCHEMA,
+        ["run_id", "table_family", "side", "column"], "table_family",
+    )
+
+
+def persist_dq(
+    table: LakeTable, run_id: str, table_family: str, side: str,
+    report: DataFrame,
+) -> None:
+    """Persist a quality.run_checks report (lit-tagged MERGE).  Rerun-safe:
+    the (run, family, side) slice is cleared first so dropped rules
+    disappear — side-scoped so persisting src then tgt keeps both."""
+    _clear_side_slice(table, run_id, table_family, side)
+    tagged = report.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(table_family).alias("table_family"),
+        F.lit(side).alias("side"),
+        "rule", "kind", "target", "violations", "total", "status",
+        F.lit("update").alias("op"),
+    )
+    table.merge(tagged, op_col="op")
+
+
+def persist_profile(
+    table: LakeTable, run_id: str, table_family: str, side: str,
+    profile: DataFrame,
+) -> None:
+    """Persist a profile_columns frame for one side (lit-tagged MERGE).
+    Rerun-safe via side-scoped slice clear."""
+    _clear_side_slice(table, run_id, table_family, side)
+    tagged = profile.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(table_family).alias("table_family"),
+        F.lit(side).alias("side"),
+        "column", "dtype", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str", "min_ts", "max_ts",
+        F.lit("update").alias("op"),
+    )
+    table.merge(tagged, op_col="op")
+
+
+def _clear_side_slice(
+    table: LakeTable, run_id: str, table_family: str, side: str
+) -> None:
+    rid = run_id.replace("'", "''")
+    fam = table_family.replace("'", "''")
+    sd = side.replace("'", "''")
+    table.delete_where(
+        f"run_id = '{rid}' AND table_family = '{fam}' AND side = '{sd}'"
     )
 
 

@@ -101,3 +101,43 @@ def test_all_pass_report(spark):
     rep = run_checks(df, [not_null("id"), unique("id")])
     assert [r["status"] for r in rep.collect()] == ["PASS", "PASS"]
     assert rep.schema["violations"].dataType.simpleString() == "bigint"
+
+
+def test_dq_and_profile_persistence_roundtrip(spark, tmp_path):
+    """persist_dq / persist_profile: side-scoped rerun replacement — src
+    then tgt keeps both; a rerun of one side replaces only that side."""
+    from data_migration_validator_spark.validation.profile import (
+        profile_columns,
+    )
+    from data_migration_validator_spark.validation.store import (
+        make_dq_table,
+        make_profile_table,
+        persist_dq,
+        persist_profile,
+    )
+
+    df = spark.createDataFrame([(1, "A"), (2, None)], "id int, code string")
+    rep = run_checks(df, [not_null("id"), not_null("code")])
+    dq = make_dq_table(spark, str(tmp_path / "dq"))
+    persist_dq(dq, "r1", "fam", "src", rep)
+    persist_dq(dq, "r1", "fam", "tgt", rep)
+    back = dq.read().filter("run_id = 'r1'")
+    assert back.count() == 4  # 2 rules x 2 sides
+    assert {r["side"] for r in back.collect()} == {"src", "tgt"}
+
+    # rerun src with fewer rules: src shrinks to 1, tgt untouched
+    persist_dq(dq, "r1", "fam", "src", run_checks(df, [not_null("id")]))
+    sides = {(r["side"], r["rule"]) for r in dq.read().collect()}
+    assert sides == {
+        ("src", "not_null(id)"),
+        ("tgt", "not_null(id)"),
+        ("tgt", "not_null(code)"),
+    }
+
+    prof = make_profile_table(spark, str(tmp_path / "prof"))
+    persist_profile(prof, "r1", "fam", "src", profile_columns(df))
+    persist_profile(prof, "r1", "fam", "tgt", profile_columns(df))
+    got = prof.read()
+    assert got.count() == 4  # 2 columns x 2 sides
+    row = got.filter("side = 'src' AND column = 'code'").collect()[0]
+    assert (row["n_nulls"], row["min_str"]) == (1, "A")
