@@ -1442,6 +1442,33 @@ def q_chunk_documents(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketed range join (operators/interval.py): each purchase matched
+    to every signup window [signup_ts, signup_ts + 3 days) of the same
+    user — grid-cell explode + hash EQUI-join + residual filter, no
+    BroadcastNestedLoop anywhere (plan-asserted in tests).  Oracle is the
+    naive theta-join DuckDB can afford at this scale."""
+    from data_migration_validator_spark.operators.interval import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end_ts"),
+    )
+    out = range_join(
+        purchases, signups, "ts", "start_ts", "end_ts",
+        on=["user_id"], bucket_width_s=86400.0,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "signup_id", "start_ts", "end_ts"
+    ).orderBy("event_id", "signup_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reconciliation pipeline (digest classify + per-column
     metrics driver) on sf0.001 — the validate half of the engine."""
@@ -1513,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "value_histogram": q_value_histogram,
         "chunk_documents": q_chunk_documents,
+        "range_join": q_range_join,
     }
 
 
@@ -2471,5 +2499,21 @@ def oracle_sql() -> dict[str, str]:
                    AS chunk_len,
                SUBSTRING(t, chunk_start + 1, 200) AS chunk_text
         FROM s ORDER BY doc_id, chunk_index
+    """
+    # --- range join: half-open [start, start + 3 days) point-in-interval.
+    sqls["range_join"] = """
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ), s AS (
+            SELECT user_id, event_id AS signup_id, ts AS start_ts,
+                   ts + INTERVAL 3 DAY AS end_ts
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT p.event_id, p.user_id, p.ts, s.signup_id, s.start_ts, s.end_ts
+        FROM p JOIN s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.start_ts AND p.ts < s.end_ts
+        ORDER BY p.event_id, s.signup_id
     """
     return sqls
