@@ -274,10 +274,18 @@ class LakeTable:
             )
         with open(path) as f:
             old = json.load(f)
+        brows = old.get("bucket_rows")
+        if brows is None:
+            # legacy target manifest: seed from per-file counts, else the
+            # restored table would report row_count() == 0 ({} is "present")
+            brows = {}
+            for f in old["files"]:
+                b = str(f["bucket"])
+                brows[b] = brows.get(b, 0) + f.get("rows", 0)
         m = self._next_manifest(
             files=old["files"],
             deltas=old.get("deltas", []),
-            bucket_rows=old.get("bucket_rows", {}),
+            bucket_rows=brows,
             schema_id=old["schema_id"],
             schemas=old["schemas"],
             partition=old["partition"],

@@ -104,3 +104,40 @@ def test_rebucket_bad_args(spark, tmp_root):
         table.rebucket(0)
     with pytest.raises(ValueError):
         table.rebucket(8, bucket_col="nope")
+
+
+def test_rollback_to_legacy_manifest_keeps_row_count(spark, tmp_root):
+    """A target manifest written before bucket_rows existed must restore
+    with counts seeded from its per-file rows, not an empty map (which
+    would make row_count() report 0)."""
+    import json
+
+    table = _table(spark, tmp_root)
+    df = spark.createDataFrame(
+        [("r1", f"p{i}", "c", "py", "x") for i in range(10)],
+        ["repo", "path", "commit", "lang", "content"],
+    ).withColumn("op", F.lit("insert"))
+    table.merge(df, op_col="op", batch_id=1)
+    seq1 = table.manifest["seq"]
+    table.merge(
+        df.withColumn("content", F.lit("y")), op_col="op", batch_id=2
+    )
+
+    # simulate a legacy v<seq1> manifest: the pre-bucket_rows format kept
+    # per-FILE row counts instead — move the counts down, drop the map
+    path = os.path.join(table.root, "_manifest", f"v{seq1:08d}.json")
+    with open(path) as f:
+        m = json.load(f)
+    per_bucket = m.pop("bucket_rows")
+    seen = set()
+    for fe in m["files"]:
+        b = str(fe["bucket"])
+        # one file per bucket in this fixture; guard the assumption
+        assert b not in seen
+        seen.add(b)
+        fe["rows"] = per_bucket.get(b, 0)
+    with open(path, "w") as f:
+        json.dump(m, f)
+
+    table.rollback(seq1)
+    assert table.row_count() == 10
