@@ -69,8 +69,10 @@ from .store import (  # noqa: F401
 )
 from .report import (  # noqa: F401
     anomaly_browser,
+    dq_failures,
     failed_stages,
     latest_run_per_family,
+    profile_drift,
     summary_conjunction,
     top_mismatched_columns,
 )

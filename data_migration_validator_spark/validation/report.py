@@ -110,3 +110,58 @@ def failed_stages(log: DataFrame, run_id: str | None = None) -> DataFrame:
     if run_id is not None:
         df = df.filter(F.col("run_id") == run_id)
     return df.orderBy("run_id", "table_family", "event_time")
+
+
+def dq_failures(dq: DataFrame, run_id: str | None = None) -> DataFrame:
+    """FAILED contract rules from the persisted dq_results table
+    (store.make_dq_table), worst first — the ops view after a load."""
+    out = dq.filter(F.col("status") == "FAIL")
+    if run_id is not None:
+        out = out.filter(F.col("run_id") == run_id)
+    return out.select(
+        "run_id", "table_family", "side", "rule", "kind", "target",
+        "violations", "total",
+    ).orderBy(F.col("violations").desc(), "rule")
+
+
+def profile_drift(
+    profiles: DataFrame,
+    run_a: str,
+    run_b: str,
+    table_family: str | None = None,
+    side: str = "tgt",
+) -> DataFrame:
+    """Cross-RUN drift from the persisted column_profiles table
+    (store.make_profile_table): one row per (table_family, column, metric)
+    whose value changed between ``run_a`` and ``run_b`` — yesterday's load
+    vs today's as a read-back join of two tiny profile slices, no rescan
+    of either table.  Values render as strings so every metric type shares
+    one report column."""
+    metrics = [
+        "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str", "min_ts", "max_ts",
+    ]
+    base = profiles.filter(F.col("side") == side)
+    if table_family is not None:
+        base = base.filter(F.col("table_family") == table_family)
+
+    def _slice(run: str, tag: str) -> DataFrame:
+        return base.filter(F.col("run_id") == run).select(
+            "table_family", "column",
+            *[F.col(m).cast("string").alias(f"{tag}_{m}") for m in metrics],
+        )
+
+    joined = _slice(run_a, "a").join(
+        _slice(run_b, "b"), on=["table_family", "column"], how="full_outer"
+    )
+    legs = [
+        joined.select(
+            "table_family", "column", F.lit(m).alias("metric"),
+            F.col(f"a_{m}").alias("value_a"), F.col(f"b_{m}").alias("value_b"),
+        ).filter(~F.col(f"a_{m}").eqNullSafe(F.col(f"b_{m}")))
+        for m in metrics
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("table_family", "column", "metric")

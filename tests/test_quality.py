@@ -141,3 +141,39 @@ def test_dq_and_profile_persistence_roundtrip(spark, tmp_path):
     assert got.count() == 4  # 2 columns x 2 sides
     row = got.filter("side = 'src' AND column = 'code'").collect()[0]
     assert (row["n_nulls"], row["min_str"]) == (1, "A")
+
+
+def test_dq_failures_and_profile_drift_readpath(spark, tmp_path):
+    """Read-path over the persisted tables: dq_failures filters/orders,
+    profile_drift diffs two runs' snapshots without rescanning data."""
+    from data_migration_validator_spark.validation.profile import (
+        profile_columns,
+    )
+    from data_migration_validator_spark.validation.report import (
+        dq_failures,
+        profile_drift,
+    )
+    from data_migration_validator_spark.validation.store import (
+        make_dq_table,
+        make_profile_table,
+        persist_dq,
+        persist_profile,
+    )
+
+    dq = make_dq_table(spark, str(tmp_path / "dq"))
+    bad = spark.createDataFrame([(None, "A"), (None, "B")], "id int, c string")
+    persist_dq(dq, "r1", "fam", "tgt", run_checks(bad, [not_null("id"), not_null("c")]))
+    fails = dq_failures(dq.read(), run_id="r1").collect()
+    assert [r["rule"] for r in fails] == ["not_null(id)"]
+    assert fails[0]["violations"] == 2
+
+    prof = make_profile_table(spark, str(tmp_path / "prof"))
+    day1 = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id int, x double")
+    day2 = spark.createDataFrame([(1, 5.0), (2, 7.0), (3, 99.0)], "id int, x double")
+    persist_profile(prof, "r1", "fam", "tgt", profile_columns(day1, exact_distinct=True))
+    persist_profile(prof, "r2", "fam", "tgt", profile_columns(day2, exact_distinct=True))
+    drift = profile_drift(prof.read(), "r1", "r2").collect()
+    got = {(r["column"], r["metric"]): (r["value_a"], r["value_b"]) for r in drift}
+    assert got[("x", "max_num")] == ("7.0", "99.0")
+    assert got[("id", "n_rows")] == ("2", "3")
+    assert ("x", "min_num") not in got  # unchanged metrics not reported
