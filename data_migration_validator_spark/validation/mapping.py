@@ -130,6 +130,7 @@ def run_mappings(
     anomaly_table: LakeTable | None = None,
     windowed_table: LakeTable | None = None,
     pk_table: LakeTable | None = None,
+    profile_table: LakeTable | None = None,
     bucket_short_circuit: int | None = None,
 ) -> dict[str, dict]:
     """Validate every active configured pair; returns {table_family: reports}.
@@ -231,6 +232,22 @@ def run_mappings(
                     reports["pk_tgt"],
                 )
                 _log("persist_pk", "SUCCESS")
+            if profile_table is not None:
+                # HLL single-pass profile per side (validation/profile.py);
+                # persisted snapshots make cross-RUN drift a read-back diff
+                # (report.profile_drift), no rescan of historical loads
+                from .profile import profile_columns
+                from .store import persist_profile
+
+                persist_profile(
+                    profile_table, run_id, m.table_family, "src",
+                    profile_columns(src),
+                )
+                persist_profile(
+                    profile_table, run_id, m.table_family, "tgt",
+                    profile_columns(tgt),
+                )
+                _log("persist_profile", "SUCCESS")
         except Exception as exc:  # record FAILED + exception, keep going
             # distinct stage name: a persist step can fail AFTER a successful
             # _log("validate", ...), and two rows with the same (run_id,

@@ -27,6 +27,7 @@ from data_migration_validator_spark.validation import (
     make_column_metrics_table,
     make_log_table,
     make_pk_table,
+    make_profile_table,
     make_summary_table,
     make_windowed_table,
     run_mappings,
@@ -44,6 +45,9 @@ def main() -> None:
                     help="digest-first reconcile with N buckets: the wide "
                          "src x tgt join runs only over buckets whose "
                          "aggregate digests differ")
+    ap.add_argument("--profile", action="store_true",
+                    help="persist per-side column-profile snapshots "
+                         "(HLL single pass) for cross-run drift reports")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -54,6 +58,10 @@ def main() -> None:
     anomaly_t = make_anomaly_table(spark, f"{args.metrics_root}/anomalies")
     windowed_t = make_windowed_table(spark, f"{args.metrics_root}/windowed")
     pk_t = make_pk_table(spark, f"{args.metrics_root}/pk")
+    profile_t = (
+        make_profile_table(spark, f"{args.metrics_root}/profiles")
+        if args.profile else None
+    )
 
     run_mappings(
         spark,
@@ -66,6 +74,7 @@ def main() -> None:
         anomaly_table=anomaly_t,
         windowed_table=windowed_t,
         pk_table=pk_t,
+        profile_table=profile_t,
         bucket_short_circuit=args.bucket_short_circuit,
     )
 

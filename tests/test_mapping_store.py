@@ -232,3 +232,34 @@ def test_run_mappings_persists_anomaly_windowed_pk_tables(spark, tmp_root):
     pks = {r["side"]: r for r in pk_t.read().collect()}
     assert pks["src"]["total_count"] == 21 and pks["src"]["pk_violations"] == 0
     assert pks["tgt"]["pk_violations"] == 0
+
+
+def test_run_mappings_persists_profiles(spark, tmp_root):
+    """profile_table: per-side HLL profile snapshots persisted per pair,
+    feeding the cross-run profile_drift read-path."""
+    from data_migration_validator_spark.validation import (
+        make_profile_table,
+        profile_drift,
+    )
+
+    day1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, amt double"
+    )
+    day2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, amt double"
+    )
+    prof_t = make_profile_table(spark, os.path.join(tmp_root, "prof"))
+    mappings = [TableMapping("fam_p", "s", "t", ["id"])]
+    for run, frame in (("day1", day1), ("day2", day2)):
+        run_mappings(
+            spark,
+            mappings,
+            resolve=lambda n, f=frame: f,
+            run_id=run,
+            profile_table=prof_t,
+        )
+    stored = prof_t.read()
+    assert stored.count() == 2 * 2 * 2  # 2 runs x 2 sides x 2 columns
+    drift = profile_drift(stored, "day1", "day2", side="tgt").collect()
+    got = {(r["column"], r["metric"]) for r in drift}
+    assert ("id", "n_rows") in got and ("amt", "max_num") in got
