@@ -121,7 +121,10 @@ def scd2_apply(
     #    frame itself stays distributed for the close join.
     firsts = (
         dml.groupBy(*keys)
-        .agg(F.min(order_col).cast("bigint").alias("__close_seq"))
+        .agg(
+            F.min(order_col).cast("bigint").alias("__close_seq"),
+            F.sum((F.col("op") != delete_value).cast("bigint")).alias("__n_opens"),
+        )
         .persist()
     )
     try:
@@ -131,11 +134,13 @@ def scd2_apply(
             .agg(
                 F.collect_set("__bucket").alias("buckets"),
                 F.count(F.lit(1)).alias("n_keys"),
+                F.sum("__n_opens").alias("n_opens"),
             )
             .first()
         )
         touched = sorted(int(b) for b in (agg["buckets"] or []))
         n_keys = int(agg["n_keys"])
+        n_opens = int(agg["n_opens"] or 0)
         if not touched:
             # empty batch (e.g. pure schema events): just mark it applied
             if batch_id is not None:
@@ -150,7 +155,11 @@ def scd2_apply(
         #    bucket-pruned scan of open rows only, broadcast the small
         #    min-seq frame (shuffle join fallback for backfill-size batches).
         current = table.read(buckets=touched).filter(F.col(VALID_TO).isNull())
-        rhs = F.broadcast(firsts) if n_keys <= broadcast_max_keys else firsts
+        firsts_keyed = firsts.drop("__n_opens")
+        rhs = (
+            F.broadcast(firsts_keyed)
+            if n_keys <= broadcast_max_keys else firsts_keyed
+        )
         closes = current.alias("c").join(rhs.alias("f"), on=keys, how="inner")
         closes = closes.select(
             *keys,
@@ -166,9 +175,12 @@ def scd2_apply(
         stats = table.merge(change_set, op_col="op", batch_id=batch_id)
     finally:
         firsts.unpersist()
+    # the MERGE counts closes + opens together; opens were counted for free
+    # in the fused discovery agg, so the split costs zero extra actions
+    upserted = stats.get("rows_upserted", 0)
     return {
-        "versions_opened": stats.get("rows_upserted", 0),
-        "versions_closed": 0,  # folded into rows_upserted; kept for shape
+        "versions_opened": n_opens,
+        "versions_closed": max(upserted - n_opens, 0),
         "touched_buckets": stats.get("touched_buckets"),
         "skipped": False,
     }
@@ -187,13 +199,18 @@ def scd2_replay(
         int(r[batch_col])
         for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
     ]
-    opened = 0
+    opened = closed = 0
     for b in batches:
         st = scd2_apply(
             table, events.filter(F.col(batch_col) == b), batch_id=b, **kwargs
         )
         opened += st.get("versions_opened", 0)
-    return {"batches": len(batches), "versions_opened": opened}
+        closed += st.get("versions_closed", 0)
+    return {
+        "batches": len(batches),
+        "versions_opened": opened,
+        "versions_closed": closed,
+    }
 
 
 def scd2_expected(

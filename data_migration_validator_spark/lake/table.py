@@ -152,12 +152,25 @@ def _anti_join_strategy(
     return "shuffle"
 
 
+def _seed_bucket_rows(m: dict) -> dict[str, int]:
+    """A manifest's per-bucket row counts, seeding LEGACY manifests (written
+    before bucket_rows existed) from their per-file counts — the ONE copy of
+    that fallback rule; every reader (row counts, rollback restore, rewrite
+    carry-over) must go through it or the copies drift."""
+    brows = m.get("bucket_rows")
+    if brows is not None:
+        return dict(brows)
+    out: dict[str, int] = {}
+    for f in m["files"]:
+        b = str(f["bucket"])
+        out[b] = out.get(b, 0) + f.get("rows", 0)
+    return out
+
+
 def _manifest_rows(m: dict) -> int:
     """Live row count of one manifest: per-bucket observed counts, with a
     per-file fallback for manifests written before bucket_rows existed."""
-    if "bucket_rows" in m:
-        return sum(m["bucket_rows"].values())
-    return sum(f.get("rows", 0) for f in m["files"])
+    return sum(_seed_bucket_rows(m).values())
 
 
 class LakeTable:
@@ -274,14 +287,9 @@ class LakeTable:
             )
         with open(path) as f:
             old = json.load(f)
-        brows = old.get("bucket_rows")
-        if brows is None:
-            # legacy target manifest: seed from per-file counts, else the
-            # restored table would report row_count() == 0 ({} is "present")
-            brows = {}
-            for f in old["files"]:
-                b = str(f["bucket"])
-                brows[b] = brows.get(b, 0) + f.get("rows", 0)
+        # legacy target manifest: seeds from per-file counts, else the
+        # restored table would report row_count() == 0 ({} is "present")
+        brows = _seed_bucket_rows(old)
         m = self._next_manifest(
             files=old["files"],
             deltas=old.get("deltas", []),
@@ -853,12 +861,7 @@ class LakeTable:
         new counts, others carry over.  A legacy manifest (predating
         bucket_rows) seeds the carry-over from its per-file row counts so
         untouched buckets don't silently drop to zero on the first rewrite."""
-        current = self.manifest.get("bucket_rows")
-        if current is None:
-            current = {}
-            for f in self.manifest["files"]:
-                b = str(f["bucket"])
-                current[b] = current.get(b, 0) + f.get("rows", 0)
+        current = _seed_bucket_rows(self.manifest)
         out = {b: n for b, n in current.items() if int(b) not in touched or add}
         for b, n in new_rows.items():
             out[str(b)] = out.get(str(b), 0) + n if add else n

@@ -29,15 +29,25 @@ rows match.  Among right duplicates at the same (key, ts), the greatest
 ``right_tie`` column wins — pass one to make results deterministic when
 (key, ts) is not unique on the right.
 
-``tolerance`` (seconds): matches older than ``left.ts - tolerance`` are
-nulled out (pandas ``merge_asof`` semantics); the window still carries
-them, the filter is a post-projection.
+``tolerance`` (seconds for time axes, axis units for numeric ones): matches
+older than ``left.ts - tolerance`` are nulled out (pandas ``merge_asof``
+semantics); the window still carries them, the filter is a post-projection
+evaluated in EXACT integer microseconds (``operators.timeaxis``), so an
+exactly-at-tolerance match is kept, never rounded away.
+
+NULL semantics match SQL ASOF / ``merge_asof``: right rows with a NULL
+timestamp or NULL key never match anything (they are filtered before the
+union — default nulls-first ordering would otherwise sort a NULL-ts right
+row before every left row and carry its payload everywhere), and a left row
+with a NULL key or NULL timestamp gets a NULL match.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .timeaxis import axis_expr
 
 
 def asof_join(
@@ -64,9 +74,20 @@ def asof_join(
     rts = right_ts or left_ts
     keys = list(on)
     rcols = right_cols or [c for c in right.columns if c not in {*keys, rts}]
+    # the matched timestamp is ALWAYS emitted as ts_out — carrying rts in
+    # the payload too would produce two identically-named struct fields
+    rcols = [c for c in rcols if c != rts]
     taken = set(left.columns)
     out_names = {c: (c + suffix if c in taken else c) for c in rcols}
-    ts_out = rts + suffix if rts in taken or rts in rcols else rts
+    ts_out = rts + suffix if rts in taken else rts
+
+    # SQL ASOF semantics: a NULL timestamp or NULL key on the right matches
+    # nothing (nulls-first window ordering would otherwise carry a NULL-ts
+    # payload onto every row, and partitionBy groups NULL keys as equal)
+    guard = F.col(rts).isNotNull()
+    for k in keys:
+        guard = guard & F.col(k).isNotNull()
+    right = right.filter(guard)
 
     pay = F.struct(
         *[F.col(c).alias(out_names[c]) for c in rcols],
@@ -109,8 +130,24 @@ def asof_join(
         .filter(F.col("__side") == l_side)
     )
     if tolerance is not None:
-        horizon = F.col("__ts").cast("double") - F.lit(float(tolerance))
-        in_range = F.col(f"__match.{ts_out}").cast("double") >= horizon
+        # exact integer-µs arithmetic (timeaxis docstring): a double epoch
+        # comparison can flip an exactly-at-tolerance boundary match
+        l_axis, l_scale = axis_expr(
+            F.col("__ts"), dict(left.dtypes)[left_ts]
+        )
+        m_axis, r_scale = axis_expr(
+            F.col(f"__match.{ts_out}"), dict(right.dtypes)[rts]
+        )
+        if l_scale != r_scale:
+            raise ValueError(
+                "left/right timestamp columns must share one axis type "
+                "(both time-typed or both numeric) when tolerance is set"
+            )
+        tol = (
+            F.lit(int(round(tolerance * l_scale))) if l_scale != 1
+            else F.lit(tolerance)
+        )
+        in_range = m_axis >= l_axis - tol
         carried = carried.withColumn(
             "__match", F.when(in_range, F.col("__match"))
         )

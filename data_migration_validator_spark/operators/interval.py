@@ -30,16 +30,10 @@ own units.  Interval semantics are half-open ``[start, end)``; pass
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TIME_TYPES = ("timestamp", "timestamp_ntz", "date")
-
-
-def _axis(df: DataFrame, col: str) -> tuple[Column, int]:
-    if dict(df.dtypes)[col] in _TIME_TYPES:
-        return F.unix_micros(F.col(col).cast("timestamp")), 1_000_000
-    return F.col(col), 1
+from .timeaxis import axis_of as _axis
 
 
 def range_join(

@@ -25,13 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _axis(df: DataFrame, ts_col: str):
-    """(axis column, gap scale): exact integer µs for time types, the raw
-    column for numeric axes."""
-    if dict(df.dtypes)[ts_col] in ("timestamp", "timestamp_ntz", "date"):
-        return F.unix_micros(F.col(ts_col).cast("timestamp")), 1_000_000
-    return F.col(ts_col), 1
+from .timeaxis import axis_of as _axis
 
 
 def sessionize(

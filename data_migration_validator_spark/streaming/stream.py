@@ -21,6 +21,21 @@ from pyspark.sql.streaming import StreamingQuery
 from ..cdc.apply import apply_batch
 from ..lake.table import LakeTable
 
+def _await_or_raise(q: StreamingQuery, timeout_s: int) -> None:
+    """Block until the query terminates; a TIMEOUT is an ERROR, not a
+    success.  ``awaitTermination(t)`` returns False when the query is still
+    running — silently ``stop()``-ing there would report a half-applied
+    stream as complete.  The checkpoint keeps the drained prefix, so the
+    caller can re-run to resume after raising."""
+    done = q.awaitTermination(timeout_s)
+    if not done:
+        q.stop()
+        raise TimeoutError(
+            f"stream did not drain within {timeout_s}s; "
+            "checkpoint retains progress — re-run to resume"
+        )
+
+
 EVENT_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_seq", T.LongType()),
@@ -153,9 +168,7 @@ def run_stream_once(
             quarantine=quarantine,
         )
         query_id = q.id
-        q.awaitTermination(timeout_s)
-        if q.isActive:
-            q.stop()
+        _await_or_raise(q, timeout_s)
     finally:
         # always detach: a leaked listener would keep accumulating rows for
         # every later streaming query in the shared session
@@ -228,9 +241,7 @@ def run_scd2_stream_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    _await_or_raise(q, timeout_s)
 
 
 def start_demux_stream(
@@ -283,6 +294,4 @@ def start_demux_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    _await_or_raise(q, timeout_s)

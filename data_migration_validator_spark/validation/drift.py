@@ -133,12 +133,14 @@ def drift_report(
         a = _collect_hist(hs, c, n_buckets)
         b = _collect_hist(ht, c, n_buckets)
         p = psi(a, b)
-        out.append(
-            (
-                c, float(p), float(ks_stat(a, b)), sum(a), sum(b),
-                "STABLE" if p < psi_threshold else "DRIFT",
-            )
-        )
+        # a side with ZERO non-null mass (all-NULL column, or a non-numeric
+        # column the double cast nulled out) was never actually measured —
+        # report NO_DATA instead of a vacuous psi(0,0)=0 "STABLE"
+        if sum(a) == 0 or sum(b) == 0:
+            status = "NO_DATA"
+        else:
+            status = "STABLE" if p < psi_threshold else "DRIFT"
+        out.append((c, float(p), float(ks_stat(a, b)), sum(a), sum(b), status))
     return src.sparkSession.createDataFrame(
         out, "column string, psi double, ks double, src_rows bigint, "
              "tgt_rows bigint, status string",

@@ -28,6 +28,8 @@ rows/nulls/distinct only.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -121,6 +123,17 @@ _METRICS = (
 )
 
 
+def _differs(va, vb) -> bool:
+    """Python `!=` with one exception: NaN on BOTH sides is agreement (a
+    double column whose max is NaN on both sides must not flag forever)."""
+    if (
+        isinstance(va, float) and isinstance(vb, float)
+        and math.isnan(va) and math.isnan(vb)
+    ):
+        return False
+    return va != vb
+
+
 def profile_compare(
     src: DataFrame,
     tgt: DataFrame,
@@ -152,7 +165,7 @@ def profile_compare(
                 base = max(abs(va or 0), abs(vb or 0), 1)
                 if abs((va or 0) - (vb or 0)) / base <= distinct_rtol:
                     continue
-            if va != vb:
+            if _differs(va, vb):
                 out.append((c, m, str(va), str(vb)))
     return src.sparkSession.createDataFrame(
         out,

@@ -137,10 +137,11 @@ def profile_drift(
     vs today's as a read-back join of two tiny profile slices, no rescan
     of either table.  Values render as strings so every metric type shares
     one report column."""
-    metrics = [
-        "n_rows", "n_nulls", "n_distinct",
-        "min_num", "max_num", "min_str", "max_str", "min_ts", "max_ts",
-    ]
+    from .profile import _METRICS
+
+    # single source of truth: a metric added to the profiler must reach
+    # this cross-run report without a second edit
+    metrics = list(_METRICS)
     base = profiles.filter(F.col("side") == side)
     if table_family is not None:
         base = base.filter(F.col("table_family") == table_family)

@@ -95,6 +95,53 @@ def test_asof_single_shuffle_no_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_asof_null_ts_and_null_key_right_rows_never_match(spark):
+    # a NULL-ts right row sorts first under nulls-first ordering — without
+    # the guard its payload would be carried onto every left row; NULL keys
+    # group as equal in partitionBy but must not equi-match
+    l_df = spark.createDataFrame(
+        [("a", _ts(10), "L"), (None, _ts(10), "Lnull")],
+        "k string, ts timestamp, lv string",
+    )
+    r_df = spark.createDataFrame(
+        [("a", None, 5), (None, _ts(0), 6)],
+        "k string, ts timestamp, rv int",
+    )
+    rows = {r["lv"]: r["rv"] for r in
+            asof_join(l_df, r_df, on=["k"], left_ts="ts").collect()}
+    assert rows == {"L": None, "Lnull": None}
+
+
+def test_asof_tolerance_exact_boundary_kept(spark):
+    # exactly-at-tolerance must match (integer-µs arithmetic; a double
+    # epoch comparison can flip this boundary)
+    l_df = spark.createDataFrame(
+        [("a", _ts(30), "L")], "k string, ts timestamp, lv string"
+    )
+    r_df = spark.createDataFrame(
+        [("a", _ts(0), 7)], "k string, ts timestamp, rv int"
+    )
+    row = asof_join(l_df, r_df, on=["k"], left_ts="ts", tolerance=1800.0).first()
+    assert row["rv"] == 7
+
+
+def test_asof_right_cols_including_ts_no_collision(spark):
+    # rts inside right_cols must not produce two identically-named struct
+    # fields; the matched timestamp arrives once, as ts_right
+    l_df = spark.createDataFrame(
+        [("a", _ts(10), "L")], "k string, ts timestamp, lv string"
+    )
+    r_df = spark.createDataFrame(
+        [("a", _ts(1), 3)], "k string, ts timestamp, rv int"
+    )
+    out = asof_join(
+        l_df, r_df, on=["k"], left_ts="ts", right_cols=["ts", "rv"]
+    )
+    assert out.columns.count("ts_right") == 1
+    row = out.first()
+    assert row["rv"] == 3 and row["ts_right"] == _ts(1)
+
+
 def test_sessionize_boundaries_and_stats(spark):
     rows = [
         # user 1: events at 0,10,20 min (one session at 15-min gap),

@@ -74,3 +74,13 @@ def test_bad_bounds_raise(spark):
         histogram(_df(spark), {"x": (5.0, 5.0)})
     with pytest.raises(ValueError):
         histogram(_df(spark), {})
+
+
+def test_drift_unmeasured_column_reports_no_data(spark):
+    # an all-NULL (or non-numeric-regressed) column has zero histogram
+    # mass: psi(0,0)=0 must NOT read as "STABLE" — it was never measured
+    src = spark.range(0, 100).selectExpr("CAST(NULL AS DOUBLE) AS x")
+    tgt = spark.range(0, 100).selectExpr("CAST(NULL AS DOUBLE) AS x")
+    row = drift_report(src, tgt, {"x": (0.0, 1.0)}).collect()[0]
+    assert row["status"] == "NO_DATA"
+    assert row["src_rows"] == 0 and row["tgt_rows"] == 0

@@ -97,3 +97,13 @@ def test_unknown_column_raises(spark):
 
     with pytest.raises(ValueError):
         profile_columns(_df(spark), cols=["nope"])
+
+
+def test_compare_nan_on_both_sides_is_agreement(spark):
+    # NaN != NaN in Python — without the NaN-aware diff a double column
+    # whose max is NaN on BOTH sides flags forever on identical tables
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "id int, x double"
+    )
+    diff = profile_compare(df, df, exact_distinct=True).collect()
+    assert diff == []

@@ -51,6 +51,25 @@ def test_incremental_equals_batch_oracle(spark, tmp_path, ev):
     assert t.read().filter(F.col(VALID_TO).isNotNull()).count() > 0
 
 
+def test_opened_closed_counts_match_event_oracle(spark, tmp_path, ev):
+    from pyspark.sql import Window
+
+    t = _hist(spark, tmp_path, "h_counts")
+    st = scd2_replay(t, ev)
+    # every non-delete event opens exactly one version
+    assert st["versions_opened"] == ev.filter(F.col("op") != "delete").count()
+    # a close write happens when a key's version is closed by an event in a
+    # LATER batch (within-batch successors land with valid_to pre-chained)
+    w = Window.partitionBy("repo", "path").orderBy("event_seq")
+    x = ev.withColumn("next_batch", F.lead("batch_hint").over(w))
+    expect_closed = x.filter(
+        (F.col("op") != "delete")
+        & F.col("next_batch").isNotNull()
+        & (F.col("next_batch") != F.col("batch_hint"))
+    ).count()
+    assert st["versions_closed"] == expect_closed
+
+
 def test_redelivery_is_noop(spark, tmp_path, ev):
     t = _hist(spark, tmp_path, "h2")
     scd2_replay(t, ev)

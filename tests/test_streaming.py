@@ -203,3 +203,23 @@ def test_gated_stream_applies_schema_evolution(spark, tmp_root):
     ).collect()[0]
     assert counts["mismatches"] == 0, counts
     assert counts["src_extras"] == 0 and counts["tgt_extras"] == 0
+
+
+def test_stream_timeout_raises_instead_of_silent_success():
+    from data_migration_validator_spark.streaming.stream import _await_or_raise
+
+    class FakeQuery:
+        stopped = False
+
+        def awaitTermination(self, timeout_s):
+            return False  # still running at the deadline
+
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery()
+    import pytest
+
+    with pytest.raises(TimeoutError):
+        _await_or_raise(q, 1)
+    assert q.stopped  # the runaway query is stopped before raising
