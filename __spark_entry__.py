@@ -1397,6 +1397,27 @@ def q_column_profile(spark, sf_dir):
     return profile_columns(li, exact_distinct=True).orderBy("column")
 
 
+def q_quantile_profile(spark, sf_dir):
+    """One-pass quantile profiler (validation/profile.py): exact linear-
+    interpolation percentiles (the quantile_cont definition) for three
+    lineitem measures, all columns and probabilities in ONE aggregation.
+    Values rounded to 6dp on both sides — the interpolation arithmetic is
+    IEEE-identical but the last ulp is not contractual.  Production mode
+    swaps in percentile_approx (mergeable sketch, single pass) via
+    ``exact=False``."""
+    from data_migration_validator_spark.validation.profile import (
+        profile_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    qp = profile_quantiles(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    return qp.select(
+        "column", "p", F.round("value", 6).alias("value")
+    ).orderBy("column", "p")
+
+
 def q_value_histogram(spark, sf_dir):
     """Equi-width value histograms (validation/drift.py): two lineitem
     columns bucketed in ONE scan + ONE tiny shuffle (inline (column,
@@ -1538,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "dq_checks": q_dq_checks,
         "column_profile": q_column_profile,
+        "quantile_profile": q_quantile_profile,
         "value_histogram": q_value_histogram,
         "chunk_documents": q_chunk_documents,
         "range_join": q_range_join,
@@ -2452,6 +2474,27 @@ def oracle_sql() -> dict[str, str]:
     ]
     sqls["column_profile"] = (
         "SELECT * FROM (" + " UNION ALL ".join(legs) + ') ORDER BY "column"'
+    )
+    # --- quantile profile: quantile_cont IS the exact linear-interpolation
+    # definition Spark's percentile() implements; 6dp rounding both sides.
+    _QPROBS = "[0.25, 0.5, 0.75, 0.9, 0.99]"
+
+    def _quant_leg(c):
+        return (
+            f"SELECT '{c}' AS \"column\", "
+            f"unnest(CAST({_QPROBS} AS DOUBLE[])) AS p, "
+            f"ROUND(unnest(qs), 6) AS value FROM "
+            f"(SELECT quantile_cont(CAST({c} AS DOUBLE), "
+            f"CAST({_QPROBS} AS DOUBLE[])) AS qs FROM lineitem)"
+        )
+
+    sqls["quantile_profile"] = (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(
+            _quant_leg(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        )
+        + ') ORDER BY "column", p'
     )
     # --- value histogram: the same explicit width_bucket formula, same
     # IEEE-double operation order ((x - lo) / (hi - lo) * n), NULLs → -1.

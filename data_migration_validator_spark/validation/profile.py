@@ -117,6 +117,48 @@ def profile_columns(
     return spark.createDataFrame(out, _PROFILE_SCHEMA)
 
 
+def profile_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-column quantiles, all columns and probabilities in ONE
+    aggregation pass (map-side partial, one-row exchange) — the
+    distribution tier between min/max profiling and full histograms.
+
+    ``exact=True``: ``percentile`` (exact linear interpolation, the
+    standard ``quantile_cont`` definition any SQL engine can re-check —
+    the oracle mode; needs a per-column sort inside the aggregate, fine
+    at validation-sample scale).  ``exact=False``: ``percentile_approx``
+    (mergeable sketch, single pass, bounded memory — the 100-TB mode).
+    Returns (column, p, value) rows.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    bad = [c for c in cols if not isinstance(fields.get(c), _NUMERIC)]
+    if bad:
+        raise ValueError(f"non-numeric (or unknown) columns: {bad}")
+    if not cols or not probs:
+        raise ValueError("need at least one column and one probability")
+    ps = [float(p) for p in probs]
+    parr = F.array(*[F.lit(p) for p in ps])
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c).cast("double")
+        aggs.append(
+            (F.percentile(col, parr) if exact
+             else F.percentile_approx(col, parr, 10_000)).alias(f"__q{i}")
+        )
+    row = df.agg(*aggs).first()
+    out = []
+    for i, c in enumerate(cols):
+        vals = row[f"__q{i}"] or [None] * len(ps)
+        out.extend((c, p, v) for p, v in zip(ps, vals))
+    return df.sparkSession.createDataFrame(
+        out, "column string, p double, value double"
+    )
+
+
 _METRICS = (
     "n_rows", "n_nulls", "n_distinct",
     "min_num", "max_num", "min_str", "max_str", "min_ts", "max_ts",

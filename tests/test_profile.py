@@ -6,6 +6,7 @@ import datetime
 from data_migration_validator_spark.validation.profile import (
     profile_columns,
     profile_compare,
+    profile_quantiles,
 )
 
 TS = datetime.datetime
@@ -107,3 +108,26 @@ def test_compare_nan_on_both_sides_is_agreement(spark):
     )
     diff = profile_compare(df, df, exact_distinct=True).collect()
     assert diff == []
+
+
+def test_profile_quantiles_exact_and_approx(spark):
+    df = spark.range(0, 1001).selectExpr("CAST(id AS DOUBLE) AS x")
+    got = {
+        (r["column"], r["p"]): r["value"]
+        for r in profile_quantiles(df, ["x"], probs=(0.0, 0.5, 1.0)).collect()
+    }
+    assert got == {("x", 0.0): 0.0, ("x", 0.5): 500.0, ("x", 1.0): 1000.0}
+    # sketch mode agrees within its accuracy budget on a smooth column
+    approx = {
+        r["p"]: r["value"]
+        for r in profile_quantiles(
+            df, ["x"], probs=(0.5,), exact=False
+        ).collect()
+    }
+    assert abs(approx[0.5] - 500.0) <= 5.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        profile_quantiles(df, ["nope"])
+    with pytest.raises(ValueError):
+        profile_quantiles(df, [])
