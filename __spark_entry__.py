@@ -736,6 +736,136 @@ def q_schema_compatibility(spark, sf_dir):
     ).orderBy("col_key")
 
 
+def q_comment_compare(spark, sf_dir):
+    """J8 completion: per-column COMMENT capture through normalize_metadata
+    and the null-safe lowered compare (validation_summary.py:361,381-391;
+    validation_sqls.py:45,69)."""
+    from data_migration_validator_spark.sources.metadata import (
+        normalize_metadata,
+    )
+    from data_migration_validator_spark.validation.schema_check import (
+        name_type_check,
+    )
+
+    meta_schema = (
+        "col_name string, data_type string, col_order int, comment string"
+    )
+    src_raw = spark.createDataFrame(
+        [
+            ("id", "bigint", 1, "primary key"),
+            ("name", "string", 2, "customer name"),
+            ("bal", "double", 3, None),
+            ("upd_ts", "timestamp", 4, "audit ts"),
+        ],
+        meta_schema,
+    )
+    tgt_raw = spark.createDataFrame(
+        [
+            ("id", "bigint", 1, "Primary Key"),  # case-only diff: MATCH
+            ("name", "string", 2, "buyer name"),  # MISMATCH
+            ("bal", "double", 3, None),  # null <=> null: MATCH
+            ("upd_ts", "timestamp", 4, None),  # one side only: MISMATCH
+        ],
+        meta_schema,
+    )
+    nt = name_type_check(
+        normalize_metadata(src_raw, "spark", "src"),
+        normalize_metadata(tgt_raw, "spark", "tgt"),
+    )
+    return nt.select(
+        "col_key", "src_comment", "tgt_comment",
+        "col_name_compare", "datatype_compare", "comment_compare",
+    ).orderBy("col_key")
+
+
+def q_mapped_validation(spark, sf_dir):
+    """Reference config surface end-to-end (README.md:191-236): a mapping
+    with col_mapping renames + mismatch_exclude_fields through the
+    config-driven runner — the excluded audit columns carry the injected
+    mismatches, so the raw status FAILs while after-exclusion SUCCEEDs."""
+    from data_migration_validator_spark.validation import (
+        TableMapping,
+        run_mappings,
+    )
+
+    legacy = _src_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("ORD_KEY"),
+        F.col("o_custkey").alias("CUST_NBR"),
+        F.col("o_orderstatus").alias("ORD_STS"),
+        F.col("o_totalprice").alias("TOT_PRC"),
+        F.col("o_orderpriority").alias("ORD_PRI"),
+    )
+    frames = {
+        "orders_src": legacy,
+        "orders_tgt": _tgt_orders(spark, sf_dir),
+    }
+    m = TableMapping(
+        "orders",
+        "orders_src",
+        "orders_tgt",
+        ["o_orderkey"],
+        col_mapping={
+            "ORD_KEY": "o_orderkey",
+            "CUST_NBR": "o_custkey",
+            "ORD_STS": "o_orderstatus",
+            "TOT_PRC": "o_totalprice",
+            "ORD_PRI": "o_orderpriority",
+        },
+        mismatch_exclude_fields=["o_totalprice", "o_orderpriority"],
+    )
+    res = run_mappings(spark, [m], resolve=lambda n: frames[n], run_id="r1")
+    s = res["orders"]["summary"]
+    return spark.createDataFrame(
+        [
+            (
+                s["data_mismatch_status"],
+                s["mismatches_after_exclusion_status"],
+                s["comment_compare_status"],
+                int(s["matches"]),
+                int(s["mismatches"]),
+                int(s["src_extras"]),
+                int(s["tgt_extras"]),
+            )
+        ],
+        "data_mismatch_status string, "
+        "mismatches_after_exclusion_status string, "
+        "comment_compare_status string, matches bigint, mismatches bigint, "
+        "src_extras bigint, tgt_extras bigint",
+    )
+
+
+def q_addtnl_filter_metrics(spark, sf_dir):
+    """addtnl_filters slices (README.md:206-236; MDV:1137-1188): named
+    predicates over the annotated frame's suffixed columns — including the
+    {full_outer_table} scalar-subquery form — each slice's per-column
+    counters computed in ONE aggregation pass."""
+    from data_migration_validator_spark.validation import (
+        AddtnlFilter,
+        run_validation,
+    )
+
+    filters = [
+        AddtnlFilter("N/A", "N/A"),
+        AddtnlFilter("open_status", "o_orderstatus_tgt = 'O'"),
+        AddtnlFilter(
+            "below_max",
+            "o_totalprice_src <= "
+            "(select max(o_totalprice_tgt) from {full_outer_table})",
+            capture_mismatches=True,
+        ),
+    ]
+    reports = run_validation(
+        _src_orders(spark, sf_dir),
+        _tgt_orders(spark, sf_dir),
+        key_cols=["o_orderkey"],
+        addtnl_filters=filters,
+    )
+    out = reports["addtnl_filter_metrics"]
+    rows = out.collect()
+    reports["annotated"].unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (rows-only): binary payloads → mapInPandas Arrow
     feature extraction (stub kernel) + JVM-side resize planning."""
@@ -871,8 +1001,8 @@ def q_validation_summary(spark, sf_dir):
             "table_family",
             "final_validation_status",
             "row_count_status",
-            "hash_match_status",
-            "data_mismatch_status",
+            "mismatches_after_exclusion_status",
+            "comment_compare_status",
             "extras_status",
             "primary_key_compliance_status",
             "column_names_status",
@@ -1542,6 +1672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay": q_cdc_replay,
         "cdc_replay_mor": q_cdc_replay_mor,
         "validation_summary": q_validation_summary,
+        "comment_compare": q_comment_compare,
+        "mapped_validation": q_mapped_validation,
+        "addtnl_filter_metrics": q_addtnl_filter_metrics,
         "anomaly_rows": q_anomaly_rows,
         "table_changes": q_table_changes,
         "pii_scrub": q_pii_scrub,
@@ -1564,6 +1697,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "range_join": q_range_join,
     }
+
+
+def _addtnl_filters_oracle() -> str:
+    """Generated DuckDB oracle for q_addtnl_filter_metrics: per (filter ×
+    column) conditional sums over the same full-outer join, mirroring the
+    engine's single-pass counters (slices count OVERLAP rows only)."""
+    cols = _ORDER_CMP
+    eqs = ", ".join(
+        f"s.{c} AS {c}_src, t.{c} AS {c}_tgt, "
+        f"(s.{c} IS NOT DISTINCT FROM t.{c}) AS eq_{c}"
+        for c in cols
+    )
+    head = f"""
+        WITH s AS ({_SRC_SQL}), t AS ({_TGT_SQL}),
+        j AS (
+            SELECT s.o_orderkey IS NOT NULL AS sp,
+                   t.o_orderkey IS NOT NULL AS tp,
+                   {eqs}
+            FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey)
+    """
+    filters = [
+        ("N/A", None),
+        ("open_status", "o_orderstatus_tgt = 'O'"),
+        (
+            "below_max",
+            "o_totalprice_src <= (select max(o_totalprice_tgt) from j)",
+        ),
+    ]
+    parts = []
+    for name, cond in filters:
+        base = "sp AND tp" + (f" AND ({cond})" if cond else "")
+        for c in cols:
+            parts.append(
+                f"""SELECT '{name}' AS addtnl_filter, '{c}' AS column_name,
+                CAST(SUM(CASE WHEN {base} THEN 1 ELSE 0 END) AS BIGINT)
+                    AS total_overlaps,
+                CAST(SUM(CASE WHEN {base} AND eq_{c} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS matches,
+                CAST(SUM(CASE WHEN {base} AND NOT eq_{c} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mismatches
+                FROM j"""
+            )
+    return (
+        head
+        + " ".join(
+            ("UNION ALL " if i else "") + p for i, p in enumerate(parts)
+        )
+        + " ORDER BY addtnl_filter, column_name"
+    )
 
 
 def _store_values(rows):
@@ -2092,9 +2274,8 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'SUCCESS' ELSE 'FAILED' END AS final_validation_status,
                    CASE WHEN src_extras = 0 AND tgt_extras = 0
                         THEN 'SUCCESS' ELSE 'FAILED' END AS row_count_status,
-                   CASE WHEN mismatches = 0 AND src_extras = 0 AND tgt_extras = 0
-                        THEN 'SUCCESS' ELSE 'FAILED' END AS hash_match_status,
-                   CASE WHEN mismatches = 0 THEN 'SUCCESS' ELSE 'FAILED' END AS data_mismatch_status,
+                   CASE WHEN mismatches = 0 THEN 'SUCCESS' ELSE 'FAILED' END AS mismatches_after_exclusion_status,
+                   'SUCCESS' AS comment_compare_status,
                    CASE WHEN src_extras = 0 AND tgt_extras = 0
                         THEN 'SUCCESS' ELSE 'FAILED' END AS extras_status,
                    CASE WHEN violations = 0 THEN 'SUCCESS' ELSE 'FAILED' END AS primary_key_compliance_status,
@@ -2544,6 +2725,74 @@ def oracle_sql() -> dict[str, str]:
         FROM s ORDER BY doc_id, chunk_index
     """
     # --- range join: half-open [start, start + 3 days) point-in-interval.
+    sqls["comment_compare"] = """
+        WITH s(col_name, data_type, cmt) AS (VALUES
+            ('id', 'bigint', 'primary key'),
+            ('name', 'string', 'customer name'),
+            ('bal', 'double', NULL),
+            ('upd_ts', 'timestamp', 'audit ts')),
+        t(col_name, data_type, cmt) AS (VALUES
+            ('id', 'bigint', 'Primary Key'),
+            ('name', 'string', 'buyer name'),
+            ('bal', 'double', NULL),
+            ('upd_ts', 'timestamp', NULL)),
+        j AS (
+            SELECT COALESCE(lower(s.col_name), lower(t.col_name)) AS col_key,
+                   s.col_name AS sn, t.col_name AS tn,
+                   s.data_type AS sd, t.data_type AS td,
+                   s.cmt AS sc, t.cmt AS tc
+            FROM s FULL OUTER JOIN t
+              ON lower(s.col_name) = lower(t.col_name))
+        SELECT col_key, sc AS src_comment, tc AS tgt_comment,
+               CASE WHEN sn IS NOT NULL AND tn IS NOT NULL
+                    THEN 'MATCH' ELSE 'MISMATCH' END AS col_name_compare,
+               CASE WHEN lower(sd) IS NOT DISTINCT FROM lower(td)
+                    THEN 'MATCH' ELSE 'MISMATCH' END AS datatype_compare,
+               CASE WHEN lower(sc) IS NOT DISTINCT FROM lower(tc)
+                    THEN 'MATCH' ELSE 'MISMATCH' END AS comment_compare
+        FROM j ORDER BY col_key
+    """
+    sqls["mapped_validation"] = f"""
+        WITH s AS ({src}), t AS ({tgt}),
+        j AS (
+            SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+                   (s.o_custkey IS NOT DISTINCT FROM t.o_custkey) AS eq_ck,
+                   (s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus) AS eq_st,
+                   (s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice) AS eq_tp,
+                   (s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority) AS eq_op
+            FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey),
+        c AS (
+            SELECT
+              SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+                        AND eq_ck AND eq_st AND eq_tp AND eq_op
+                       THEN 1 ELSE 0 END) AS matches,
+              SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+                        AND NOT (eq_ck AND eq_st AND eq_tp AND eq_op)
+                       THEN 1 ELSE 0 END) AS mismatches,
+              SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS src_extras,
+              SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS tgt_extras,
+              MAX(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq_ck
+                       THEN 1 ELSE 0 END) AS bad_ck,
+              MAX(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq_st
+                       THEN 1 ELSE 0 END) AS bad_st,
+              MAX(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq_tp
+                       THEN 1 ELSE 0 END) AS bad_tp,
+              MAX(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL AND NOT eq_op
+                       THEN 1 ELSE 0 END) AS bad_op
+            FROM j)
+        SELECT
+          CASE WHEN bad_ck + bad_st + bad_tp + bad_op = 0
+               THEN 'SUCCESS' ELSE 'FAILED' END AS data_mismatch_status,
+          CASE WHEN bad_ck + bad_st = 0
+               THEN 'SUCCESS' ELSE 'FAILED' END AS mismatches_after_exclusion_status,
+          'SUCCESS' AS comment_compare_status,
+          CAST(matches AS BIGINT) AS matches,
+          CAST(mismatches AS BIGINT) AS mismatches,
+          CAST(src_extras AS BIGINT) AS src_extras,
+          CAST(tgt_extras AS BIGINT) AS tgt_extras
+        FROM c
+    """
+    sqls["addtnl_filter_metrics"] = _addtnl_filters_oracle()
     sqls["range_join"] = """
         WITH p AS (
             SELECT event_id, user_id, ts FROM events

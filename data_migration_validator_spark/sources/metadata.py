@@ -193,6 +193,21 @@ _DIALECT_COLS: dict[str, tuple[str, str, str]] = {
     "spark": ("col_name", "data_type", "col_order"),
 }
 
+# per-dialect COLUMN COMMENT source (SUM:361, 381-391: COL_COMMENT is
+# captured by every warehouse's catalog query and compared null-safely into
+# comment_compare_status).  ``None`` = the dialect exposes comments only via
+# a separate catalog table (Oracle ALL_COL_COMMENTS) — the store column is
+# NULL and the compare degrades to presence parity.
+_DIALECT_COMMENT_COLS: dict[str, str | None] = {
+    "teradata": "CommentString",   # DBC.ColumnsV (teradata-extract.py:60)
+    "mssql": "COLUMN_COMMENT",     # MS_Description ext-props join above
+    "snowflake": "COMMENT",        # information_schema.columns.comment
+    "netezza": "description",      # _v_relation_column
+    "oracle": None,
+    "hive": "comment",
+    "spark": "comment",
+}
+
 
 def normalize_metadata(df: DataFrame, dialect: str, side: str) -> DataFrame:
     """Project a dialect's raw catalog rows to the engine's schema-store
@@ -221,9 +236,19 @@ def normalize_metadata(df: DataFrame, dialect: str, side: str) -> DataFrame:
             .withColumn("__ord", F.row_number().over(w))
         )
         order = F.col("__ord").cast("int")
+    comment_c = _DIALECT_COMMENT_COLS.get(dialect)
+    # match case-insensitively: JDBC drivers differ in identifier casing
+    by_lower = {c.lower(): c for c in df.columns}
+    actual = by_lower.get(comment_c.lower()) if comment_c else None
+    comment = (
+        F.col(actual).cast("string")
+        if actual is not None
+        else F.lit(None).cast("string")
+    )
     return df.select(
         F.lower(F.col(name_c)).alias("col_name"),
         F.lower(F.col(type_c)).alias("data_type"),
         order.alias("col_order"),
         F.lit(side).alias("side"),
+        comment.alias("comment"),
     )

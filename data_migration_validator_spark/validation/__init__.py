@@ -44,6 +44,7 @@ from .quality import (  # noqa: F401
     unique,
 )
 from .mapping import (  # noqa: F401
+    AddtnlFilter,
     TableMapping,
     load_mappings_csv,
     resolve_connections,

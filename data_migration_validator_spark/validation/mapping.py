@@ -43,13 +43,34 @@ from .store import (
 MAPPING_CSV_SCHEMA = (
     "table_family string, src_table string, tgt_table string, "
     "key_cols string, compare_cols string, filter string, date_col string, "
-    "quick_validation boolean, is_active boolean"
+    "quick_validation boolean, is_active boolean, col_mapping string, "
+    "mismatch_exclude_fields string, addtnl_filters string"
 )
 
 
 @dataclass
+class AddtnlFilter:
+    """One named report slice (README.md:206-236 ``addtnl_filters`` entry):
+    a SQL predicate over the full-outer frame's suffixed columns
+    (``<col>_src`` / ``<col>_tgt``; ``{full_outer_table}`` refers to the
+    frame itself), with per-slice mismatch capture opt-in."""
+
+    filter_name: str
+    filter: str | None = None  # None or "N/A" = the unfiltered slice
+    capture_mismatches: bool = False
+
+
+@dataclass
 class TableMapping:
-    """One configured validation pair (validation_mapping row analog)."""
+    """One configured validation pair (validation_mapping row analog).
+
+    ``col_mapping`` — reference README.md:191-197: ``{src_col: tgt_col}``
+    renames applied to the SOURCE side before comparison; ``key_cols`` /
+    ``compare_cols`` / filters are written in TARGET naming.
+    ``mismatch_exclude_fields`` — columns whose mismatches are expected;
+    excluded from ``mismatches_after_exclusion_status`` (README.md:199-205).
+    ``addtnl_filters`` — named report slices (README.md:206-236).
+    """
 
     table_family: str
     src_table: str
@@ -60,15 +81,37 @@ class TableMapping:
     date_col: str | None = None
     quick: bool = False
     is_active: bool = True
+    col_mapping: dict[str, str] | None = None
+    mismatch_exclude_fields: list[str] | None = None
+    addtnl_filters: list[AddtnlFilter] | None = None
 
 
 def load_mappings_csv(spark: SparkSession, path: str) -> list[TableMapping]:
     """Mapping config from CSV (key lists '|'-separated, as the reference's
-    ``tgt_primary_keys``, setup_validation_mapping.py:22-27).  Config is
-    tiny by definition — the collect is the config read, not a data scan."""
+    ``tgt_primary_keys``, setup_validation_mapping.py:22-27; ``col_mapping``
+    and ``addtnl_filters`` are JSON strings exactly as the reference's
+    validation_mapping columns, README.md:191-236).  Config is tiny by
+    definition — the collect is the config read, not a data scan."""
+    import json
+
     rows = csv_config_source(spark, path, schema=MAPPING_CSV_SCHEMA).collect()
     out = []
     for r in rows:
+        raw_cm = (r["col_mapping"] or "").strip()
+        col_mapping = json.loads(raw_cm) if raw_cm and raw_cm != "{}" else None
+        raw_af = (r["addtnl_filters"] or "").strip()
+        addtnl = (
+            [
+                AddtnlFilter(
+                    filter_name=e["filter_name"],
+                    filter=e.get("filter"),
+                    capture_mismatches=bool(e.get("capture_mismatches")),
+                )
+                for e in json.loads(raw_af)
+            ]
+            if raw_af
+            else None
+        )
         out.append(
             TableMapping(
                 table_family=r["table_family"],
@@ -84,6 +127,12 @@ def load_mappings_csv(spark: SparkSession, path: str) -> list[TableMapping]:
                 date_col=r["date_col"] or None,
                 quick=bool(r["quick_validation"]),
                 is_active=r["is_active"] is not False,
+                col_mapping=col_mapping,
+                mismatch_exclude_fields=[
+                    c for c in (r["mismatch_exclude_fields"] or "").split("|") if c
+                ]
+                or None,
+                addtnl_filters=addtnl,
             )
         )
     return out
@@ -164,6 +213,16 @@ def run_mappings(
         try:
             src = resolve(m.src_table)
             tgt = resolve(m.tgt_table)
+            if m.col_mapping:
+                # P1 rename map (README.md:191-197): source columns take
+                # their target names BEFORE any filter/compare — key_cols,
+                # compare_cols and filters are written in target naming.
+                src = src.select(
+                    *[
+                        F.col(c).alias(m.col_mapping.get(c, c))
+                        for c in src.columns
+                    ]
+                )
             if m.filter:
                 src = src.where(m.filter)
                 tgt = tgt.where(m.filter)
@@ -177,6 +236,8 @@ def run_mappings(
                 date_col=m.date_col,
                 quick=m.quick,
                 bucket_short_circuit=bucket_short_circuit,
+                mismatch_exclude_fields=m.mismatch_exclude_fields,
+                addtnl_filters=m.addtnl_filters,
             )
             summary = reports["summary"]
             _log("validate", summary["validation_status"])

@@ -26,10 +26,12 @@ from .bucket_reconcile import _bucket_expr, bucket_summary
 from .checks import primary_key_validation
 from .quick import quick_validate
 from .reconcile import (
+    addtnl_filter_metrics_from_annotated,
     annotated_comparison,
     column_metrics_from_annotated,
     counts_from_annotated,
     extras_from_annotated,
+    filter_condition_from_annotated,
     mismatch_rows_from_annotated,
     windowed_from_annotated,
 )
@@ -51,6 +53,8 @@ def run_validation(
     date_col: str | None = None,
     quick: bool = False,
     bucket_short_circuit: int | None = None,
+    mismatch_exclude_fields: list[str] | None = None,
+    addtnl_filters: list | None = None,
 ) -> dict:
     """Run the full validation pipeline; returns a dict of report DataFrames
     plus the summary status dict under ``"summary"``.
@@ -65,6 +69,19 @@ def run_validation(
     887-1384).  Callers that materialize many reports should leave the
     annotated frame persisted until done, then
     ``reports["annotated"].unpersist()``.
+
+    Reference config surface (README.md:199-253):
+    ``mismatch_exclude_fields`` — columns whose mismatches are expected;
+    they still count in the raw metrics, but the separate
+    ``mismatches_after_exclusion_status`` (and the final verdict) ignores
+    them.  ``addtnl_filters`` — a list of named slices, each an object/dict
+    with ``filter_name``, ``filter`` (SQL over the annotated frame's
+    ``<col>_src``/``<col>_tgt`` columns, "N/A" = unfiltered) and
+    ``capture_mismatches``; per-slice per-column metrics land under
+    ``"addtnl_filter_metrics"`` (ONE extra aggregation over the SAME
+    persisted annotated frame — zero extra joins), and slices flagged
+    ``capture_mismatches`` get row-level captures under
+    ``"addtnl_mismatch_rows"[filter_name]``.
 
     ``bucket_short_circuit=N`` removes even that one join at steady state:
     a per-bucket digest pass (validation/bucket_reconcile.py — narrow scans,
@@ -81,6 +98,13 @@ def run_validation(
         compare_cols = [
             c for c in src.columns if c in set(tgt.columns) and c not in key_cols
         ]
+    if addtnl_filters and bucket_short_circuit:
+        # slice metrics must see EVERY overlap row that satisfies the
+        # filter; the short-circuited annotated frame omits clean buckets,
+        # so combining the two would silently under-count — fail loudly.
+        raise ValueError(
+            "addtnl_filters cannot be combined with bucket_short_circuit"
+        )
 
     src_store = schema_store(spark, src.schema, "src")
     tgt_store = schema_store(spark, tgt.schema, "tgt")
@@ -122,6 +146,7 @@ def run_validation(
             ann, src, tgt, jsrc, jtgt, key_cols, compare_cols, date_col,
             quick, bucket_short_circuit, clean_matches, clean_src,
             ordinal, name_type, compatibility, pk_src, pk_tgt,
+            mismatch_exclude_fields, addtnl_filters,
         )
     except Exception:
         # the persist belongs to this function: a failure after it (bad
@@ -135,6 +160,7 @@ def _assemble_reports(
     ann, src, tgt, jsrc, jtgt, key_cols, compare_cols, date_col,
     quick, bucket_short_circuit, clean_matches, clean_src,
     ordinal, name_type, compatibility, pk_src, pk_tgt,
+    mismatch_exclude_fields=None, addtnl_filters=None,
 ):
     counts = counts_from_annotated(ann)
     col_metrics = column_metrics_from_annotated(ann, compare_cols)
@@ -173,6 +199,32 @@ def _assemble_reports(
         "pk_src": pk_src,
         "pk_tgt": pk_tgt,
     }
+    if addtnl_filters:
+        compiled = [
+            (
+                f["filter_name"] if isinstance(f, dict) else f.filter_name,
+                filter_condition_from_annotated(
+                    ann, f["filter"] if isinstance(f, dict) else f.filter
+                ),
+            )
+            for f in addtnl_filters
+        ]
+        reports["addtnl_filter_metrics"] = addtnl_filter_metrics_from_annotated(
+            ann, compare_cols, compiled
+        )
+        captures = {}
+        for f, (name, cond) in zip(addtnl_filters, compiled):
+            cap = (
+                f.get("capture_mismatches")
+                if isinstance(f, dict)
+                else f.capture_mismatches
+            )
+            if cap and cond is not None:
+                captures[name] = mismatch_rows_from_annotated(
+                    ann.filter(cond), key_cols, compare_cols
+                )
+        if captures:
+            reports["addtnl_mismatch_rows"] = captures
     if quick:
         reports["quick"] = quick_validate(jsrc, jtgt, key_cols, compare_cols)
     else:
@@ -214,7 +266,8 @@ def _assemble_reports(
         reports["windowed"] = windowed
 
     summary = summary_from_annotated(
-        ann, compare_cols, pk_src, pk_tgt, name_type, ordinal, compatibility
+        ann, compare_cols, pk_src, pk_tgt, name_type, ordinal, compatibility,
+        mismatch_exclude_fields=mismatch_exclude_fields,
     )
     if clean_matches:
         summary["matches"] += clean_matches

@@ -280,6 +280,89 @@ def column_metrics_from_annotated(
     return _unpivot_column_metrics(wide, compare_cols)
 
 
+def filter_condition_from_annotated(ann: DataFrame, expr_str: str | None):
+    """Compile one ``addtnl_filters`` entry's SQL condition against the
+    annotated frame (README.md:206-236: predicates are written over the
+    suffixed ``<col>_src`` / ``<col>_tgt`` columns of the full-outer table).
+
+    Returns a Column, or None for the reference's "N/A" sentinel (the
+    unfiltered slice).  The reference's ``{full_outer_table}`` placeholder
+    (a scalar subquery over the join table itself, MDV:1174-1180) is
+    supported by registering the annotated frame as a temp view and letting
+    the SQL parser resolve the subquery against it."""
+    if expr_str is None or expr_str.strip() in ("", "N/A"):
+        return None
+    if "{full_outer_table}" in expr_str:
+        view = f"__full_outer_{abs(hash(expr_str)) % 10**8}"
+        ann.createOrReplaceTempView(view)
+        expr_str = expr_str.replace("{full_outer_table}", view)
+    return F.expr(expr_str)
+
+
+def addtnl_filter_metrics_from_annotated(
+    ann: DataFrame,
+    compare_cols: list[str],
+    filters: list[tuple[str, object]],
+) -> DataFrame:
+    """Per-slice per-column mismatch metrics from the annotated frame — the
+    reference's ``addtnl_filters`` fan-out (README.md:206-236;
+    migration-data-validation.py:1137-1188) in ONE aggregation pass.
+
+    ``filters``: [(filter_name, condition Column | None)]; None = the "N/A"
+    unfiltered slice.  The reference issues 4 correlated scalar subqueries
+    per (filter × column) over the persisted full-outer table — O(F×C)
+    scans; here every counter is a conditional SUM in a single aggregate
+    job (F×(1+2C) counters), then an unpivot of the 1-row wide result.
+    Slices count OVERLAP rows only (the reference's ``where_condition`` on
+    the primary keys restricts to both-present rows — total_overlaps).
+
+    Output: (addtnl_filter, column_name, total_overlaps, matches,
+    mismatches), ordered.
+    """
+    if not filters or not compare_cols:
+        return ann.sparkSession.createDataFrame(
+            [],
+            "addtnl_filter string, column_name string, total_overlaps bigint,"
+            " matches bigint, mismatches bigint",
+        )
+    both = F.col("__s").isNotNull() & F.col("__t").isNotNull()
+    aggs = []
+    for i, (_name, cond) in enumerate(filters):
+        base = both if cond is None else (both & cond)
+        aggs.append(F.sum(F.when(base, 1).otherwise(0)).alias(f"__t{i}"))
+        for c in compare_cols:
+            eq = F.col(f"__eq_{c}")
+            aggs.append(
+                F.sum(F.when(base & eq, 1).otherwise(0)).alias(f"__m{i}__{c}")
+            )
+            aggs.append(
+                F.sum(F.when(base & ~eq, 1).otherwise(0)).alias(f"__x{i}__{c}")
+            )
+    wide = ann.agg(*aggs)
+    slices = []
+    for i, (name, _cond) in enumerate(filters):
+        stack_items = ", ".join(
+            f"'{c}', `__m{i}__{c}`, `__x{i}__{c}`" for c in compare_cols
+        )
+        slices.append(
+            wide.select(
+                F.lit(name).alias("addtnl_filter"),
+                F.expr(
+                    f"stack({len(compare_cols)}, {stack_items}) "
+                    "as (column_name, matches, mismatches)"
+                ),
+                F.col(f"__t{i}").alias("total_overlaps"),
+            ).select(
+                "addtnl_filter", "column_name", "total_overlaps",
+                "matches", "mismatches",
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("addtnl_filter", "column_name")
+
+
 def mismatch_rows_from_annotated(
     ann: DataFrame, key_cols: list[str], compare_cols: list[str]
 ) -> DataFrame:

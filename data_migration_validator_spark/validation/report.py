@@ -17,10 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Mirrors the reference's read-side AND-fold membership exactly
+# (validation_sqls.py:24-63): the AFTER-EXCLUSION mismatch status gates the
+# final verdict — the raw data_mismatch/hash_match statuses are stored and
+# reported but must not fail a run whose only mismatches sit in configured
+# ``mismatch_exclude_fields``; comment_compare joins the conjunction per
+# VSQL:45.  Without exclusions, after-exclusion == data_mismatch and
+# (mismatches ∨ extras) == hash_match, so the fold is unchanged.
 _CONJUNCTION_COLS = [
     "row_count_status",
-    "hash_match_status",
-    "data_mismatch_status",
+    "mismatches_after_exclusion_status",
+    "comment_compare_status",
     "extras_status",
     "primary_key_compliance_status",
     "column_names_status",

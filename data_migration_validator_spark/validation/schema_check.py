@@ -15,15 +15,26 @@ from ..lake.schema import _WIDEN, _base
 def schema_store(
     spark: SparkSession, schema: T.StructType, side: str = "src"
 ) -> DataFrame:
-    """Capture a schema as rows (col_name, data_type, col_order, side) —
-    the per-warehouse "schema store" (databricks-extract.py:86-117) built
-    from a live StructType instead of DESC output."""
+    """Capture a schema as rows (col_name, data_type, col_order, side,
+    comment) — the per-warehouse "schema store" (databricks-extract.py:
+    86-117) built from a live StructType instead of DESC output.  The
+    per-column COMMENT rides along (COL_COMMENT in every dialect's capture,
+    validation_summary.py:62,99) from StructField metadata, NULL when the
+    field carries none."""
     rows = [
-        (f.name, f.dataType.simpleString(), i + 1, side)
+        (
+            f.name,
+            f.dataType.simpleString(),
+            i + 1,
+            side,
+            f.metadata.get("comment") if f.metadata else None,
+        )
         for i, f in enumerate(schema.fields)
     ]
     return spark.createDataFrame(
-        rows, "col_name string, data_type string, col_order int, side string"
+        rows,
+        "col_name string, data_type string, col_order int, side string, "
+        "comment string",
     )
 
 
@@ -50,37 +61,59 @@ def ordinal_check(src_store: DataFrame, tgt_store: DataFrame) -> DataFrame:
 
 def name_type_check(src_store: DataFrame, tgt_store: DataFrame) -> DataFrame:
     """FULL OUTER on lowered column name (validation_summary.py:388-393):
-    per-column name presence + datatype equality."""
-    s = src_store.select(
+    per-column name presence + datatype equality.  When BOTH stores carry a
+    ``comment`` column (schema_store / normalize_metadata emit it), the
+    per-column comment compare rides the same join — the reference's
+    null-safe lowered compare (validation_summary.py:381-391): two NULL
+    comments MATCH, a comment present on one side only MISMATCHes."""
+    with_comments = (
+        "comment" in src_store.columns and "comment" in tgt_store.columns
+    )
+    s_cols = [
         F.lower(F.col("col_name")).alias("col_key"),
         F.col("col_name").alias("src_col_name"),
         F.col("data_type").alias("src_data_type"),
-    )
-    t = tgt_store.select(
+    ]
+    t_cols = [
         F.lower(F.col("col_name")).alias("col_key"),
         F.col("col_name").alias("tgt_col_name"),
         F.col("data_type").alias("tgt_data_type"),
-    )
+    ]
+    if with_comments:
+        s_cols.append(F.col("comment").alias("src_comment"))
+        t_cols.append(F.col("comment").alias("tgt_comment"))
+    s = src_store.select(*s_cols)
+    t = tgt_store.select(*t_cols)
     j = s.join(t, on="col_key", how="full_outer")
-    return (
-        j.withColumn(
-            "col_name_compare",
+    j = j.withColumn(
+        "col_name_compare",
+        F.when(
+            F.col("src_col_name").isNotNull() & F.col("tgt_col_name").isNotNull(),
+            F.lit("MATCH"),
+        ).otherwise(F.lit("MISMATCH")),
+    ).withColumn(
+        "datatype_compare",
+        F.when(
+            F.lower(F.col("src_data_type")).eqNullSafe(
+                F.lower(F.col("tgt_data_type"))
+            ),
+            F.lit("MATCH"),
+        ).otherwise(F.lit("MISMATCH")),
+    )
+    if with_comments:
+        # a column missing on one side entirely (extra column) compares its
+        # comment against the absent side's NULL — same MISMATCH the name
+        # check already reports, matching the reference's x-join semantics
+        j = j.withColumn(
+            "comment_compare",
             F.when(
-                F.col("src_col_name").isNotNull() & F.col("tgt_col_name").isNotNull(),
-                F.lit("MATCH"),
-            ).otherwise(F.lit("MISMATCH")),
-        )
-        .withColumn(
-            "datatype_compare",
-            F.when(
-                F.lower(F.col("src_data_type")).eqNullSafe(
-                    F.lower(F.col("tgt_data_type"))
+                F.lower(F.col("src_comment")).eqNullSafe(
+                    F.lower(F.col("tgt_comment"))
                 ),
                 F.lit("MATCH"),
             ).otherwise(F.lit("MISMATCH")),
         )
-        .orderBy("col_key")
-    )
+    return j.orderBy("col_key")
 
 
 def default_compatibility_matrix(spark: SparkSession) -> DataFrame:

@@ -31,6 +31,8 @@ SUMMARY_SCHEMA = [
     ("row_count_status", "string"),
     ("hash_match_status", "string"),
     ("data_mismatch_status", "string"),
+    ("mismatches_after_exclusion_status", "string"),
+    ("comment_compare_status", "string"),
     ("extras_status", "string"),
     ("primary_key_compliance_status", "string"),
     ("column_names_status", "string"),

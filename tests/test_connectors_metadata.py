@@ -81,7 +81,7 @@ def test_cross_dialect_metadata_feeds_schema_checks(spark):
         "mssql",
         "tgt",
     )
-    assert td.columns == ms.columns == ["col_name", "data_type", "col_order", "side"]
+    assert td.columns == ms.columns == ["col_name", "data_type", "col_order", "side", "comment"]
 
     nt = {r["col_key"]: r for r in name_type_check(td, ms).collect()}
     assert nt["id"]["datatype_compare"] == "MATCH"
@@ -109,7 +109,7 @@ def test_normalize_recovers_ordinal_from_desc_shaped_frame(spark):
     src = normalize_metadata(desc, "mssql", "src")
     got = {r["col_name"]: r["col_order"] for r in src.collect()}
     assert got == {"id": 1, "name": 2, "amt": 3}
-    assert src.columns == ["col_name", "data_type", "col_order", "side"]
+    assert src.columns == ["col_name", "data_type", "col_order", "side", "comment"]
 
     tgt = normalize_metadata(
         spark.createDataFrame(
