@@ -393,8 +393,26 @@ def bench_ivm(
             want = {tuple(r) for r in spark.read.parquet(f"{tmp}/rc_{i}").collect()}
             got = {tuple(r) for r in view.table.read().collect()}
             verified = verified and got == want and not st.get("skipped")
-            feed_files = len(table.changes(since).inputFiles())
+
+            def _bytes(paths):
+                total = 0
+                for p in paths:
+                    p = p.replace("file:", "")
+                    try:
+                        total += os.path.getsize(p)
+                    except OSError:
+                        pass
+                return total
+
+            feed_paths = table.changes(since).inputFiles()
+            feed_files = len(feed_paths)
+            feed_bytes = _bytes(feed_paths)
             table_files = len(table.manifest["files"])
+            table_bytes = _bytes(
+                os.path.join(table.root, fp["path"])
+                if not os.path.isabs(fp["path"]) else fp["path"]
+                for fp in table.manifest["files"]
+            )
     f, r = min(refresh_w), min(recompute_w)
     return {
         "events": n_events,
@@ -405,6 +423,14 @@ def bench_ivm(
         "all_refresh_sec": [round(w, 3) for w in refresh_w],
         "feed_files": feed_files,
         "table_files": table_files,
+        # the scale-independent evidence: bytes the refresh READ vs bytes a
+        # full recompute must read — at fixed job overhead the wall ratio
+        # inverts at bench scale, the IO ratio does not
+        "feed_bytes": feed_bytes,
+        "table_bytes": table_bytes,
+        "scanned_bytes_ratio": (
+            round(table_bytes / feed_bytes, 2) if feed_bytes else None
+        ),
         "verified": verified,
     }
 
@@ -477,11 +503,17 @@ def bench_stats_scan(
 
 
 def bench_cdc_demux(
-    spark, n_events: int, n_batches: int = 4, repeats: int = 2, max_load: float = 8.0
+    spark, n_events: int, n_batches: int = 4, repeats: int = 2,
+    max_load: float = 8.0, n_tables: int = 8,
 ) -> dict:
-    """Mixed two-table stream through the demux replay (one scan per batch,
+    """Mixed N-table stream through the demux replay (one scan per batch,
     per-table commit logs): throughput of the multi-table routing layer,
-    digest-verified per table against each stream's own oracle."""
+    digest-verified per table against each stream's own oracle.
+
+    Two legs on identical inputs: the serial per-table loop and the
+    concurrent driver fan-out (``max_workers = n_tables``) — at T tables
+    the serial loop pays T sequential jobs' planning latency per batch
+    while executors idle; the parallel leg is the shape a cluster wants."""
     from pyspark.sql import functions as F
 
     from data_migration_validator_spark.cdc.demux import demux_replay
@@ -491,38 +523,52 @@ def bench_cdc_demux(
     )
 
     with tempfile.TemporaryDirectory() as tmp:
-        half = n_events // 2
-        bsz = max(1, half // n_batches)
-        a = change_events(spark, half, n_repos=100, seed=42, batch_size=bsz)
-        b = change_events(spark, half, n_repos=100, seed=43, batch_size=bsz)
-        mixed = (
-            a.withColumn("event_seq", F.col("event_seq") * 2)
-            .withColumn("table_name", F.lit("ta"))
-            .unionByName(
-                b.withColumn("event_seq", F.col("event_seq") * 2 + 1)
-                .withColumn("table_name", F.lit("tb"))
+        share = n_events // n_tables
+        bsz = max(1, share // n_batches)
+        names = [f"t{i}" for i in range(n_tables)]
+        streams = {
+            n: change_events(spark, share, n_repos=100, seed=42 + i, batch_size=bsz)
+            for i, n in enumerate(names)
+        }
+        mixed = None
+        for i, n in enumerate(names):
+            leg = (
+                streams[n]
+                .withColumn("event_seq", F.col("event_seq") * n_tables + i)
+                .withColumn("table_name", F.lit(n))
             )
-        )
+            mixed = leg if mixed is None else mixed.unionByName(leg)
         write_events_batched(mixed, f"{tmp}/events")
-        walls, tables = [], None
+        walls = {"serial": [], "parallel": []}
+        tables = None
         for i in range(max(1, repeats)):
-            _wait_for_quiet(max_load)
-            tables = {
-                n: _new_table(spark, f"{tmp}/{n}_{i}") for n in ("ta", "tb")
-            }
-            t0 = time.monotonic()
-            demux_replay(tables, f"{tmp}/events", merge_mode="mor")
-            walls.append(time.monotonic() - t0)
-        demux_s = min(walls)
+            for leg, workers in (("serial", 1), ("parallel", n_tables)):
+                _wait_for_quiet(max_load)
+                tables = {
+                    n: _new_table(spark, f"{tmp}/{n}_{leg}_{i}") for n in names
+                }
+                t0 = time.monotonic()
+                demux_replay(
+                    tables, f"{tmp}/events", merge_mode="mor",
+                    max_workers=workers,
+                )
+                walls[leg].append(time.monotonic() - t0)
+        serial_s = min(walls["serial"])
+        demux_s = min(walls["parallel"])
         for t in tables.values():
             t.compact()
+        verified = all(_verify(tables[n], streams[n]) for n in names)
         return {
             "events": n_events,
-            "tables": 2,
+            "tables": n_tables,
             "demux_sec": round(demux_s, 3),
-            "all_sec": [round(w, 3) for w in walls],
+            "serial_sec": round(serial_s, 3),
+            "all_sec": [round(w, 3) for w in walls["parallel"]],
+            "all_serial_sec": [round(w, 3) for w in walls["serial"]],
             "events_per_sec": round(n_events / demux_s, 1),
-            "verified": _verify(tables["ta"], a) and _verify(tables["tb"], b),
+            "serial_events_per_sec": round(n_events / serial_s, 1),
+            "parallel_speedup": round(serial_s / demux_s, 2),
+            "verified": verified,
         }
 
 
@@ -579,6 +625,7 @@ def main():
     cdc_demux = bench_cdc_demux(spark, n_events=n_ev, n_batches=4,
                                 repeats=repeats, max_load=max_load)
     per_query["cdc_demux"] = cdc_demux["demux_sec"]
+    per_query["cdc_demux_serial"] = cdc_demux["serial_sec"]
     cdc_prune = bench_cdc_replay_prune(spark, n_events=n_ev, n_batches=4,
                                        repeats=repeats, max_load=max_load)
     per_query["cdc_replay_prune"] = cdc_prune["replay_sec"]
@@ -593,28 +640,63 @@ def main():
     per_query["stats_full_scan"] = sscan["full_sec"]
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite + verified CDC replay "
-                          "(min-of-%d, warmed) total wall" % max(1, repeats),
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "cpus": cpus,
-                "repeats": repeats,
-                "cdc": cdc,
-                "cdc_mor": cdc_mor,
-                "cdc_stream": cdc_stream,
-                "cdc_demux": cdc_demux,
-                "cdc_prune": cdc_prune,
-                "cdc_scd2": cdc_scd2,
-                "ivm": ivm,
-                "stats_scan": sscan,
-            }
+    details = {
+        "metric": "headline query suite + verified CDC replay "
+                  "(min-of-%d, warmed) total wall" % max(1, repeats),
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": cpus,
+        "repeats": repeats,
+        "cdc": cdc,
+        "cdc_mor": cdc_mor,
+        "cdc_stream": cdc_stream,
+        "cdc_demux": cdc_demux,
+        "cdc_prune": cdc_prune,
+        "cdc_scd2": cdc_scd2,
+        "ivm": ivm,
+        "stats_scan": sscan,
+    }
+    # Full payload → side file (the per-round harness captures only the
+    # tail of stdout, so the LAST printed line must stay small enough to
+    # land whole inside that window — round 3's full-detail line overflowed
+    # it and the round's bench record parsed as null).
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=1)
+    compact = {
+        "metric": "suite+CDC total wall (min-of-%d, warmed; details: "
+                  "BENCH_DETAILS.json)" % max(1, repeats),
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in per_query.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "evps": {
+            "cow": cdc["events_per_sec"],
+            "mor": cdc_mor["events_per_sec"],
+            "stream": cdc_stream["events_per_sec"],
+            "demux": cdc_demux["events_per_sec"],
+            "scd2": cdc_scd2["events_per_sec"],
+        },
+        "ivm_bytes_ratio": ivm["scanned_bytes_ratio"],
+        "verified": all(
+            d.get("verified")
+            for d in (cdc, cdc_mor, cdc_stream, cdc_demux, cdc_prune,
+                      cdc_scd2, ivm, sscan)
+        ),
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        # keep the parseable line inside the harness tail window: drop the
+        # per-query map last (it stays in BENCH_DETAILS.json)
+        slow = dict(
+            sorted(per_query.items(), key=lambda kv: -kv[1])[:20]
         )
-    )
+        compact["queries"] = {k: round(v, 2) for k, v in slow.items()}
+        compact["queries_truncated_to_slowest"] = 20
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -18,10 +18,14 @@ the routing layer:
 - per-table lineage: pass a dict of lineage tables — batch_id/partition_id
   keys stay disjoint because each table writes to its own metrics table.
 
-At cluster scale the per-table loop is driver-side but each iteration is a
-full distributed job over that table's slice; with hundreds of tables,
-group small tables into one loop pass per "tier" or run multiple demux jobs
-over disjoint table sets — the commit-log idempotence makes the split safe.
+At cluster scale each per-table apply is a full distributed job over that
+table's slice; ``max_workers > 1`` submits them concurrently from driver
+threads (per-table scheduler pools), so the cluster is never idle between
+small per-table jobs — per-table commit logs make the concurrent fan-out
+exactly-once, and the shared quarantine handle serializes its own writes.
+With hundreds of tables, cap ``max_workers`` near the cluster's concurrent
+job headroom or run multiple demux jobs over disjoint table sets — the
+commit-log idempotence makes any split safe.
 """
 
 from __future__ import annotations
@@ -48,11 +52,23 @@ def demux_batch(
     quarantine: LakeTable | None = None,
     salt_buckets: int = 1,
     merge_mode: str | None = None,
+    max_workers: int = 1,
 ) -> dict:
     """Apply one mixed micro-batch to every registered table.
 
     Returns {table_name: apply_batch stats, "__unknown__": n} — tables whose
     commit log already holds ``batch_id`` report ``skipped``.
+
+    ``max_workers > 1`` submits the per-table applies CONCURRENTLY from
+    driver threads: with T tables the serial loop pays T sequential jobs'
+    planning/commit latency per micro-batch while executors idle between
+    small jobs — the round-3 review's one perf-weak finding.  Concurrency
+    is safe by construction: each destination table owns its manifest and
+    commit log (per-table exactly-once — a crash mid-fan-out redelivers,
+    committed tables no-op), the shared quarantine handle serializes its
+    own writes (LakeTable._write_lock), and each task tags its jobs with a
+    scheduler pool (``demux-<table>``) so a FAIR-scheduled cluster shares
+    slots evenly; under default FIFO, later jobs still backfill free slots.
     """
     pending = {
         name: t
@@ -85,20 +101,49 @@ def demux_batch(
                 )
             out["__unknown__"] = n_unknown
 
-        for name, t in tables.items():
+        def _one(name: str, t: LakeTable) -> dict:
+            spark = t.spark
+            # per-table pool: on a FAIR-scheduled cluster each table's jobs
+            # get an even share; local properties are per-thread so tasks
+            # never leak pools across the executor's thread reuse
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"demux-{name}"
+            )
+            try:
+                slice_df = events.filter(
+                    F.col(table_col) == name
+                ).drop(table_col)
+                return apply_batch(
+                    t,
+                    slice_df,
+                    batch_id=batch_id,
+                    lineage=(lineage or {}).get(name),
+                    salt_buckets=salt_buckets,
+                    merge_mode=merge_mode,
+                    quarantine=quarantine,
+                )
+            finally:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+        todo = [(n, t) for n, t in tables.items() if n in pending]
+        for name in tables:
             if name not in pending:
                 out[name] = {"skipped": True, "batch_id": batch_id}
-                continue
-            slice_df = events.filter(F.col(table_col) == name).drop(table_col)
-            out[name] = apply_batch(
-                t,
-                slice_df,
-                batch_id=batch_id,
-                lineage=(lineage or {}).get(name),
-                salt_buckets=salt_buckets,
-                merge_mode=merge_mode,
-                quarantine=quarantine,
-            )
+        if max_workers > 1 and len(todo) > 1:
+            # materialize the shared cache ONCE before the fan-out so the
+            # threads' first actions don't race to compute it in duplicate
+            events.count()
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(todo))
+            ) as pool:
+                futs = {n: pool.submit(_one, n, t) for n, t in todo}
+            for n, fut in futs.items():
+                out[n] = fut.result()  # re-raises the first per-table error
+        else:
+            for name, t in todo:
+                out[name] = _one(name, t)
     finally:
         events.unpersist()
     return out
@@ -112,6 +157,7 @@ def demux_replay(
     quarantine: LakeTable | None = None,
     salt_buckets: int = 1,
     merge_mode: str | None = None,
+    max_workers: int = 1,
 ) -> dict:
     """Ordered batch replay of a mixed stream (the multi-table analog of
     :func:`cdc.replay.replay`).  A batch is re-read only if at least one
@@ -139,6 +185,7 @@ def demux_replay(
             quarantine=quarantine,
             salt_buckets=salt_buckets,
             merge_mode=merge_mode,
+            max_workers=max_workers,
         )
         for name in tables:
             if not stats[name].get("skipped"):

@@ -104,9 +104,23 @@ def scd2_apply(
     if batch_id is not None and table.has_batch(batch_id):
         return {"skipped": True, "batch_id": batch_id}
     keys = list(key_cols)
-    dml = events.filter(F.col("op").isin(*ops))
 
-    # 1. within-batch version chaining: one shuffle on the natural key.
+    # ONE exchange for the whole batch: the chaining window needs the batch
+    # hash-partitioned on the natural key and sorted (key…, order_col), and
+    # the per-key firsts aggregate needs the same clustering — so pay the
+    # shuffle once (repartition + sortWithinPartitions), cache the exchanged
+    # layout, and let EnsureRequirements elide both downstream
+    # Exchange/Sort nodes (round-3 review: the two shuffles on the same key
+    # were the slowest bench leg's cost; plan-asserted in test_scd2).
+    dml = (
+        events.filter(F.col("op").isin(*ops))
+        .repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, order_col)
+        .persist()
+    )
+
+    # 1. within-batch version chaining: window over the cached layout —
+    #    no additional shuffle, no additional sort.
     w = Window.partitionBy(*keys).orderBy(order_col)
     chained = dml.withColumn("__next_seq", F.lead(order_col).over(w))
     opens = chained.filter(F.col("op") != delete_value).select(
@@ -118,7 +132,8 @@ def scd2_apply(
 
     # 2. ONE fused discovery action: per-key first seq rolled up per bucket
     #    → (touched buckets, total keys) driver-side, while the per-key
-    #    frame itself stays distributed for the close join.
+    #    frame itself stays distributed for the close join.  Reads the same
+    #    cached exchange as the window (keys-only agg over the cache).
     firsts = (
         dml.groupBy(*keys)
         .agg(
@@ -167,14 +182,41 @@ def scd2_apply(
             *[F.col(f"c.{p}").alias(p) for p in payload_cols],
             F.col("f.__close_seq").alias(VALID_TO),
         )
+        # Out-of-order-delivery guard: a batch whose min seq for a key
+        # PRECEDES the open version's valid_from would silently write an
+        # inverted interval (valid_to < valid_from) — e.g. a file stream
+        # delivering same-mtime files out of listing order.  The check
+        # rides the MERGE's own action via observe (zero extra jobs); on a
+        # hit the just-committed batch is rolled back (pure metadata) and
+        # the corruption becomes a hard error instead of silent history.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        closes = closes.observe(
+            obs,
+            F.sum(
+                (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
+            ).alias("inverted"),
+        )
 
         # 4. one exactly-once MERGE: closes are updates of existing version
         #    rows, opens are inserts; keys (natural key + valid_from) are
         #    distinct across the union by construction.
         change_set = closes.unionByName(opens).withColumn("op", F.lit("upsert"))
+        pre_seq = int(table.manifest["seq"])
         stats = table.merge(change_set, op_col="op", batch_id=batch_id)
+        inverted = int(obs.get.get("inverted") or 0)
+        if inverted:
+            table.rollback(pre_seq)
+            raise ValueError(
+                f"scd2_apply batch {batch_id!r}: {inverted} close row(s) "
+                f"would set {VALID_TO} < {VALID_FROM} (events delivered out "
+                "of seq order across batches); batch rolled back — replay "
+                "the stream in order or quarantine the offending source"
+            )
     finally:
         firsts.unpersist()
+        dml.unpersist()
     # the MERGE counts closes + opens together; opens were counted for free
     # in the fused discovery agg, so the split costs zero extra actions
     upserted = stats.get("rows_upserted", 0)

@@ -184,6 +184,13 @@ class LakeTable:
         # consecutive zero-yield MERGE prune probes on this handle (the
         # adaptive probe hysteresis; re-armed by compact()/rebucket())
         self._probe_miss_streak = 0
+        # single-writer guard PER HANDLE: concurrent driver threads (the
+        # parallel demux fan-out) may share one destination handle — e.g.
+        # the quarantine table — and its manifest commit is a
+        # read-modify-write; the reentrant lock serializes whole write ops
+        # on the same instance while leaving different tables' writes fully
+        # concurrent.
+        self._write_lock = threading.RLock()
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -1171,6 +1178,27 @@ class LakeTable:
         ``write.merge.prune_files=false`` on the table to restore the
         strict one-action path.
         """
+        with self._write_lock:
+            return self._merge_locked(
+                changes, op_col, delete_value, batch_id, broadcast_changes,
+                count_deletes, broadcast_max_rows, bucket_stats, mode,
+                order_col, pre_partitioned,
+            )
+
+    def _merge_locked(
+        self,
+        changes: DataFrame,
+        op_col: str,
+        delete_value: str,
+        batch_id,
+        broadcast_changes: bool | None,
+        count_deletes: bool,
+        broadcast_max_rows: int,
+        bucket_stats: list[dict] | None,
+        mode: str | None,
+        order_col: str | None,
+        pre_partitioned: bool,
+    ) -> dict:
         if batch_id is not None and self.has_batch(batch_id):
             return {"skipped": True, "batch_id": batch_id}
         mode = mode or self.manifest["properties"].get("write.merge.mode", "cow")

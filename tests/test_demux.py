@@ -191,3 +191,35 @@ def test_demux_schema_evolution_routes_to_right_table(spark, tmp_root):
     demux_batch(tables, mixed, batch_id=0)
     assert "stars" in [f.name for f in tables["tbl_a"].schema.fields]
     assert "stars" not in [f.name for f in tables["tbl_b"].schema.fields]
+
+
+def test_demux_parallel_matches_serial(spark, tmp_root):
+    """max_workers>1 fan-out must land byte-identical final states to the
+    serial loop — including the shared quarantine table's dead letters
+    (its per-handle write lock serializes concurrent upserts)."""
+    a, b, mixed = _mixed_stream(spark, n_a=1_200, n_b=900, unknown=30)
+    events_dir = os.path.join(tmp_root, "events_par")
+    write_events_batched(mixed, events_dir)
+
+    par = {
+        "tbl_a": _table(spark, tmp_root, "par_a"),
+        "tbl_b": _table(spark, tmp_root, "par_b"),
+    }
+    dlq = make_quarantine_table(spark, os.path.join(tmp_root, "par_dlq"))
+    stats = demux_replay(
+        par, events_dir, quarantine=dlq, merge_mode="mor", max_workers=4
+    )
+    assert stats["applied_per_table"] == {"tbl_a": 2, "tbl_b": 2}
+    _assert_equal(expected_final_state(a), par["tbl_a"])
+    _assert_equal(expected_final_state(b), par["tbl_b"])
+    assert (
+        dlq.read().filter(F.col("reason") == "unknown_table").count() == 30
+    )
+    # parallel redelivery: exactly-once holds under the fan-out too
+    stats2 = demux_replay(
+        par, events_dir, quarantine=dlq, merge_mode="mor", max_workers=4
+    )
+    assert stats2["applied_per_table"] == {"tbl_a": 0, "tbl_b": 0}
+    assert (
+        dlq.read().filter(F.col("reason") == "unknown_table").count() == 30
+    )

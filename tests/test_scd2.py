@@ -145,3 +145,71 @@ def test_streaming_scd2_matches_batch_oracle(spark, tmp_path):
     run_scd2_stream_once(t, events_dir, ckpt, max_files_per_trigger=4)
     assert t.manifest["seq"] == seq  # resume: nothing re-applied
     assert _rows(t.read()) == _rows(scd2_expected(ev))
+
+
+def test_out_of_order_batch_raises_and_rolls_back(spark, tmp_path):
+    """A later batch carrying an EARLIER seq for an open key would write an
+    inverted interval (valid_to < valid_from): scd2_apply must raise and
+    roll the batch back instead of silently corrupting history."""
+    t = _hist(spark, tmp_path, "h_ooo")
+    schema = (
+        "event_seq long, op string, repo string, path string, "
+        "commit string, lang string, content string"
+    )
+    b1 = spark.createDataFrame(
+        [(100, "insert", "r", "p", "c1", "py", "v1")], schema
+    )
+    st1 = scd2_apply(t, b1, batch_id=1)
+    assert st1["versions_opened"] == 1
+    pre_rows = _rows(t.read())
+    # batch 2 delivers seq 50 < the open version's valid_from (100)
+    b2 = spark.createDataFrame(
+        [(50, "update", "r", "p", "c0", "py", "v0")], schema
+    )
+    with pytest.raises(ValueError, match="valid_to.* < .*valid_from|out of seq"):
+        scd2_apply(t, b2, batch_id=2)
+    # rolled back: table state unchanged, batch 2 NOT marked applied
+    assert _rows(t.read()) == pre_rows
+    assert not t.has_batch(2)
+    # an in-order batch still applies afterwards
+    b3 = spark.createDataFrame(
+        [(200, "update", "r", "p", "c2", "py", "v2")], schema
+    )
+    st3 = scd2_apply(t, b3, batch_id=3)
+    assert st3["versions_opened"] == 1 and st3["versions_closed"] == 1
+
+
+def test_scd2_single_exchange_plan(spark, tmp_path, ev):
+    """The chaining window and the firsts aggregate must share ONE exchange:
+    the batch is repartitioned+sorted once and cached; neither downstream
+    plan may add its own Exchange on the natural key."""
+    from pyspark.sql import Window
+
+    keys = ["repo", "path"]
+    dml = (
+        ev.filter(F.col("op").isin("insert", "update", "delete"))
+        .repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, "event_seq")
+        .persist()
+    )
+    try:
+        dml.count()
+
+        def _above_cache(df):
+            # only the operators ABOVE the cache boundary matter — the
+            # InMemoryRelation prints its own (already-paid) child plan
+            s = df._jdf.queryExecution().executedPlan().toString()
+            return s.split("InMemoryRelation", 1)[0]
+
+        w = Window.partitionBy(*keys).orderBy("event_seq")
+        chained = dml.withColumn("__next", F.lead("event_seq").over(w))
+        plan_w = _above_cache(chained)
+        # the cached exchange satisfies the window: no new shuffle, no sort
+        assert "Exchange hashpartitioning" not in plan_w, plan_w
+        assert "Sort " not in plan_w, plan_w
+        assert "InMemoryTableScan" in plan_w
+        firsts = dml.groupBy(*keys).agg(F.min("event_seq").alias("s"))
+        plan_a = _above_cache(firsts)
+        assert "Exchange hashpartitioning" not in plan_a, plan_a
+    finally:
+        dml.unpersist()
