@@ -630,8 +630,16 @@ def q_near_dup_clusters(spark, sf_dir):
 
 
 def q_minhash_near_dup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only check:
-    the xxhash64 family has no DuckDB equivalent)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    Full-value oracle: because the pipeline's final filter is EXACT Jaccard
+    ≥ 0.8, the output equals the all-pairs exact-Jaccard set whenever LSH
+    recall is 1.0 — which it is on this corpus (measured at sf0.01 and
+    sf0.1: 25/25 and 256/256 pairs).  The DuckDB oracle computes that set
+    hash-free, so the gate doubles as a recall-regression detector: an LSH
+    change that drops a real pair fails the hash compare.  Hash-level
+    parity of the xxhash64 signatures themselves is asserted separately in
+    tests/test_operators.py against functions/xxh64.py."""
     d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     out = D.minhash_near_dup(d, "text", "doc_id", threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).orderBy(
@@ -640,7 +648,12 @@ def q_minhash_near_dup(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash banded near-dup candidates, hamming ≤ 8 (rows-only check)."""
+    """SimHash banded near-dup candidates, hamming ≤ 8 (rows-only check at
+    the driver: the output IS the xxhash64 bit-votes, which plain SQL
+    cannot reproduce; full hash-level value parity — signatures AND banded
+    pairs — is asserted against an independent pure-Python xxh64
+    reimplementation in tests/test_operators.py::
+    test_simhash_signatures_and_pairs_match_python_oracle)."""
     d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     out = D.simhash_near_dup(d, "text", "doc_id", bands=4)
     return (
@@ -864,6 +877,70 @@ def q_addtnl_filter_metrics(spark, sf_dir):
     rows = out.collect()
     reports["annotated"].unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+def q_windowed_stream_metrics(spark, sf_dir):
+    """§2.9 streaming value oracle: watermarked tumbling-window per-type
+    metrics (streaming/windowed.py windowed_event_metrics) over a bounded
+    replay of the events table via a real file-source stream.  Append mode:
+    a window row emits exactly once, when the watermark (max ts − 1h,
+    advanced by the no-data final micro-batch) passes its end — the tail
+    windows inside the delay stay open and appear on NEITHER side of the
+    compare.  The HLL distinct-repo metric is excluded (estimator-specific);
+    counts and seq offsets are exact."""
+    import os as _os
+    import tempfile
+
+    from data_migration_validator_spark.streaming.windowed import (
+        windowed_event_metrics,
+    )
+
+    import shutil
+
+    batch = _t(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="wsm_src_")
+    shutil.copy(
+        _os.path.join(sf_dir, "events.parquet"),
+        _os.path.join(src_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select(
+            # the fixture stores TIMESTAMP_NTZ; watermarks need TIMESTAMP
+            F.col("ts").cast("timestamp").alias("event_time"),
+            F.col("event_type").alias("op"),
+            F.col("user_id").cast("string").alias("repo"),
+            F.col("event_id").alias("event_seq"),
+        )
+    )
+    metrics = windowed_event_metrics(
+        stream, window_duration="1 day", watermark_delay="1 hour"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir = f"{tmp}/out"
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            metrics.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+        try:
+            emitted = spark.read.parquet(out_dir).select(
+                "window_start", "window_end", "op", "n_events",
+                "first_event_seq", "last_event_seq",
+            ).orderBy("window_start", "op")
+            return spark.createDataFrame(emitted.collect(), emitted.schema)
+        finally:
+            shutil.rmtree(src_dir, ignore_errors=True)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1675,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_compare": q_comment_compare,
         "mapped_validation": q_mapped_validation,
         "addtnl_filter_metrics": q_addtnl_filter_metrics,
+        "windowed_stream_metrics": q_windowed_stream_metrics,
         "anomaly_rows": q_anomaly_rows,
         "table_changes": q_table_changes,
         "pii_scrub": q_pii_scrub,
@@ -2205,6 +2283,39 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cosine DESC, neighbor_id) AS rank
                 FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # MinHash+LSH near-dups: the exact-Jaccard ≥ 0.8 pair set, computed
+        # hash-free (no doc-freq cap — the engine's LSH surfaces every such
+        # pair on this corpus, recall 1.0 measured at sf0.01/sf0.1; a
+        # recall regression fails this gate by design).
+        "minhash_near_dup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text, ''))), '\s+') AS tk
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN LEN(tk) >= 3 THEN
+                           LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                               i -> CONCAT_WS(' ', tk[i], tk[i+1], tk[i+2])))
+                       ELSE [ARRAY_TO_STRING(tk, ' ')] END AS shingles
+                FROM toks
+            ),
+            ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ORDER BY id_a, id_b
         """,
         # exact inverted-index n-gram Jaccard — mirrors ngram_jaccard_pairs
         # (ngram=3, threshold=0.8, max_doc_freq=200): doc sizes BEFORE the
@@ -2793,6 +2904,25 @@ def oracle_sql() -> dict[str, str]:
         FROM c
     """
     sqls["addtnl_filter_metrics"] = _addtnl_filters_oracle()
+    # streaming windowed metrics: finalized windows only — window_end must
+    # precede the final watermark (max ts − 1h); day buckets are
+    # midnight-aligned in both engines
+    sqls["windowed_stream_metrics"] = """
+        WITH mx AS (SELECT MAX(ts) AS m FROM events),
+        w AS (
+            SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+                   event_type AS op,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(event_id) AS first_event_seq,
+                   MAX(event_id) AS last_event_seq
+            FROM events GROUP BY 1, 2
+        )
+        SELECT ws AS window_start, ws + INTERVAL '1 day' AS window_end,
+               op, n_events, first_event_seq, last_event_seq
+        FROM w, mx
+        WHERE ws + INTERVAL '1 day' <= m - INTERVAL '1 hour'
+        ORDER BY window_start, op
+    """
     sqls["range_join"] = """
         WITH p AS (
             SELECT event_id, user_id, ts FROM events

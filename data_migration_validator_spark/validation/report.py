@@ -137,13 +137,20 @@ def profile_drift(
     run_b: str,
     table_family: str | None = None,
     side: str = "tgt",
+    distinct_rtol: float = 0.03,
 ) -> DataFrame:
     """Cross-RUN drift from the persisted column_profiles table
     (store.make_profile_table): one row per (table_family, column, metric)
     whose value changed between ``run_a`` and ``run_b`` — yesterday's load
     vs today's as a read-back join of two tiny profile slices, no rescan
     of either table.  Values render as strings so every metric type shares
-    one report column."""
+    one report column.
+
+    ``distinct_rtol``: the persisted snapshots come from HLL
+    approx_count_distinct (run_mappings persists rsd-0.01 sketches), so
+    exact equality on ``n_distinct`` would flag estimation jitter as
+    drift; values within this relative tolerance are treated equal —
+    mirroring profile_compare.  Set 0.0 for exact-count snapshots."""
     from .profile import _METRICS
 
     # single source of truth: a metric added to the profiler must reach
@@ -162,11 +169,21 @@ def profile_drift(
     joined = _slice(run_a, "a").join(
         _slice(run_b, "b"), on=["table_family", "column"], how="full_outer"
     )
+    def _changed(m: str):
+        a, b = F.col(f"a_{m}"), F.col(f"b_{m}")
+        if m == "n_distinct" and distinct_rtol > 0:
+            an, bn = a.cast("double"), b.cast("double")
+            base_v = F.greatest(F.abs(an), F.abs(bn), F.lit(1.0))
+            within = (F.abs(an - bn) / base_v) <= F.lit(distinct_rtol)
+            # NULL on either side (column appeared/vanished) is real drift
+            return ~F.coalesce(within, a.eqNullSafe(b))
+        return ~a.eqNullSafe(b)
+
     legs = [
         joined.select(
             "table_family", "column", F.lit(m).alias("metric"),
             F.col(f"a_{m}").alias("value_a"), F.col(f"b_{m}").alias("value_b"),
-        ).filter(~F.col(f"a_{m}").eqNullSafe(F.col(f"b_{m}")))
+        ).filter(_changed(m))
         for m in metrics
     ]
     out = legs[0]

@@ -240,17 +240,26 @@ def persist_dq(
 
 def persist_profile(
     table: LakeTable, run_id: str, table_family: str, side: str,
-    profile: DataFrame,
+    profile: DataFrame, max_str_len: int = 256,
 ) -> None:
     """Persist a profile_columns frame for one side (lit-tagged MERGE).
-    Rerun-safe via side-scoped slice clear."""
+    Rerun-safe via side-scoped slice clear.
+
+    ``min_str``/``max_str`` are truncated to ``max_str_len`` chars at
+    persist time: a profiled long-text column (document bodies) would
+    otherwise store entire documents as its extrema in a table meant to
+    hold a few hundred scalar rows per run.  Truncation is applied on
+    every run, so cross-run drift compares stay prefix-consistent."""
     _clear_side_slice(table, run_id, table_family, side)
     tagged = profile.select(
         F.lit(run_id).alias("run_id"),
         F.lit(table_family).alias("table_family"),
         F.lit(side).alias("side"),
         "column", "dtype", "n_rows", "n_nulls", "n_distinct",
-        "min_num", "max_num", "min_str", "max_str", "min_ts", "max_ts",
+        "min_num", "max_num",
+        F.substring("min_str", 1, max_str_len).alias("min_str"),
+        F.substring("max_str", 1, max_str_len).alias("max_str"),
+        "min_ts", "max_ts",
         F.lit("update").alias("op"),
     )
     table.merge(tagged, op_col="op")

@@ -470,3 +470,117 @@ def test_decontaminate_min_overlap_threshold(spark):
     # doc1 has 2 5-grams both in bench; doc2 has 1
     strict = decontaminate(docs, bench, "text", "doc_id", ngram=5, min_overlap=2)
     assert [r["doc_id"] for r in strict.collect()] == [1]
+
+
+# --------------------------------------------------------------------------- #
+# xxhash64 parity + hash-level MinHash/SimHash oracles (independent Python
+# reimplementation, functions/xxh64.py) — the value-check the DuckDB gate
+# can't run (no xxh64 in SQL); minhash's DRIVER oracle is the exact-Jaccard
+# set instead (recall 1.0), simhash's full signature parity lives here.
+# --------------------------------------------------------------------------- #
+import re as _re
+
+from data_migration_validator_spark.functions.xxh64 import spark_xxhash64
+
+
+def _py_tokens(text):
+    return _re.split(r"\s+", (text or "").strip().lower())
+
+
+def _py_shingles(text, n=3):
+    toks = _py_tokens(text)
+    if len(toks) >= n:
+        seen, out = set(), []
+        for i in range(len(toks) - n + 1):
+            s = " ".join(toks[i:i + n])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+    return [" ".join(toks)]
+
+
+def test_xxh64_parity_with_spark(spark):
+    vals = ["", "a", "hello world", "tok1 tok2 tok3", "x" * 137, "émoji ✓"]
+    exprs = [F.xxhash64(F.lit(v)).alias(f"s{i}") for i, v in enumerate(vals)]
+    exprs += [
+        F.xxhash64(F.lit("seeded"), F.lit(h)).alias(f"h{h}") for h in range(4)
+    ]
+    exprs.append(F.xxhash64(F.lit(9_876_543_210)).alias("lng"))
+    row = spark.range(1).select(*exprs).collect()[0]
+    for i, v in enumerate(vals):
+        assert row[f"s{i}"] == spark_xxhash64(v), v
+    for h in range(4):
+        assert row[f"h{h}"] == spark_xxhash64("seeded", h)
+    assert row["lng"] == spark_xxhash64(9_876_543_210)
+
+
+def test_minhash_signatures_match_python_oracle(spark):
+    from data_migration_validator_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sample = docs.orderBy("doc_id").limit(40)
+    got = {
+        r["doc_id"]: list(r["__sig"])
+        for r in minhash_signatures(sample, "text", "doc_id", 8, 3).collect()
+    }
+    for r in sample.collect():
+        sh = _py_shingles(r["text"], 3)
+        want = [min(spark_xxhash64(s, h) for s in sh) for h in range(8)]
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_simhash_signatures_and_pairs_match_python_oracle(spark):
+    from data_migration_validator_spark.operators.dedup import (
+        simhash_near_dup,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: r["__sh"]
+        for r in simhash_signatures(docs, "text", "doc_id").collect()
+    }
+
+    def py_simhash(text):
+        votes = [0] * 64
+        for t in _py_tokens(text):
+            h = spark_xxhash64(t)
+            for b in range(64):
+                votes[b] += ((h >> b) & 1) * 2 - 1
+        u = 0
+        for b in range(64):
+            if votes[b] > 0:
+                u |= 1 << b
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = docs.select("doc_id", "text").collect()
+    want = {r["doc_id"]: py_simhash(r["text"]) for r in rows}
+    assert got == want
+
+    # banded candidate pairs from the python signatures (bucket cap not
+    # binding at this size — asserted)
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for did, sig in want.items():
+        u = sig & ((1 << 64) - 1)
+        for b in range(4):
+            buckets[(b, (u >> (b * 16)) & 0xFFFF)].append(did)
+    assert all(len(v) <= 200 for v in buckets.values())
+    exp_pairs = {}
+    for (_b, _k), ids in buckets.items():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, c = ids[i], ids[j]
+                ua = want[a] & ((1 << 64) - 1)
+                uc = want[c] & ((1 << 64) - 1)
+                exp_pairs[(a, c)] = bin(ua ^ uc).count("1")
+    got_pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup(docs, "text", "doc_id", bands=4).collect()
+    }
+    assert got_pairs == exp_pairs
