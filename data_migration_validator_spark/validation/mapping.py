@@ -262,6 +262,7 @@ def run_mappings(
                     run_id,
                     m.table_family,
                     reports["column_metrics"],
+                    addtnl_metrics=reports.get("addtnl_filter_metrics"),
                 )
                 _log("persist_metrics", "SUCCESS")
             if anomaly_table is not None and "annotated" in reports:

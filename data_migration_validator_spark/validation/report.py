@@ -84,6 +84,10 @@ def top_mismatched_columns(
     df = column_metrics
     if run_id is not None:
         df = df.filter(F.col("run_id") == run_id)
+    if "addtnl_filter" in df.columns:
+        # base metrics only: slice rows re-count the same mismatches per
+        # configured filter and would double-rank a column
+        df = df.filter(F.col("addtnl_filter") == "N/A")
     return (
         df.filter(F.col("mismatches") > 0)
         .orderBy(F.col("mismatches").desc(), "column_name")

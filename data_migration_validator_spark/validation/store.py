@@ -61,6 +61,9 @@ COLUMN_METRICS_SCHEMA = [
     ("run_id", "string"),
     ("table_family", "string"),
     ("column_name", "string"),
+    # named report slice (reference MISMATCH_METRICS.addtnl_filter,
+    # MDV:1137-1188): "N/A" = the unfiltered base metrics row
+    ("addtnl_filter", "string"),
     ("total_overlaps", "bigint"),
     ("matches", "bigint"),
     ("mismatches", "bigint"),
@@ -157,7 +160,7 @@ def make_column_metrics_table(spark: SparkSession, root: str) -> LakeTable:
         spark,
         root,
         COLUMN_METRICS_SCHEMA,
-        ["run_id", "table_family", "column_name"],
+        ["run_id", "table_family", "column_name", "addtnl_filter"],
         "table_family",
     )
 
@@ -432,16 +435,24 @@ def persist_log(table: LakeTable, rows: list[dict]) -> None:
 
 
 def persist_column_metrics(
-    table: LakeTable, run_id: str, table_family: str, metrics: DataFrame
+    table: LakeTable, run_id: str, table_family: str, metrics: DataFrame,
+    addtnl_metrics: DataFrame | None = None,
 ) -> None:
     """Persist a ``column_mismatch_metrics`` frame — stays a Spark plan end
     to end (lit-tagged and MERGEd; no driver collect).  Rerun-safe: the
-    run's slice is cleared first (see _clear_slice)."""
+    run's slice is cleared first (see _clear_slice).
+
+    ``addtnl_metrics``: optional per-slice frame from the pipeline's
+    ``addtnl_filter_metrics`` report — persisted into the SAME table under
+    its slice names, mirroring the reference's MISMATCH_METRICS rows
+    (base rows land as addtnl_filter='N/A'; extras are overlap-only for
+    slices, stored as 0 like the reference's per-filter counters)."""
     _clear_slice(table, run_id, table_family)
     tagged = metrics.select(
         F.lit(run_id).alias("run_id"),
         F.lit(table_family).alias("table_family"),
         "column_name",
+        F.lit("N/A").alias("addtnl_filter"),
         "total_overlaps",
         "matches",
         "mismatches",
@@ -449,4 +460,18 @@ def persist_column_metrics(
         "tgt_extras",
         F.lit("update").alias("op"),
     )
+    if addtnl_metrics is not None:
+        slices = addtnl_metrics.filter(F.col("addtnl_filter") != "N/A").select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(table_family).alias("table_family"),
+            "column_name",
+            "addtnl_filter",
+            "total_overlaps",
+            "matches",
+            "mismatches",
+            F.lit(0).cast("bigint").alias("src_extras"),
+            F.lit(0).cast("bigint").alias("tgt_extras"),
+            F.lit("update").alias("op"),
+        )
+        tagged = tagged.unionByName(slices)
     table.merge(tagged, op_col="op")

@@ -231,3 +231,45 @@ def test_load_mappings_csv_json_columns(spark, tmp_path):
     assert [f.filter_name for f in m.addtnl_filters] == ["N/A", "us"]
     assert m.addtnl_filters[1].capture_mismatches is True
     assert m.addtnl_filters[1].filter == "loc_tgt = 'US'"
+
+
+def test_persist_addtnl_metrics_slices(spark, tmp_path):
+    """Slice metrics persist into the mismatch-metrics table under their
+    filter names, base rows under 'N/A' (reference MISMATCH_METRICS shape);
+    the top-mismatched report ranks base rows only."""
+    from data_migration_validator_spark.validation import (
+        make_column_metrics_table,
+        run_mappings,
+    )
+    from data_migration_validator_spark.validation.report import (
+        top_mismatched_columns,
+    )
+
+    src, tgt = _pair(spark, 100, bad_price=(10,), bad_flag=())
+    frames = {"s": src, "t": tgt}
+    m = TableMapping(
+        "fam", "s", "t", ["id"],
+        addtnl_filters=[
+            AddtnlFilter("N/A", "N/A"),
+            AddtnlFilter("low", "id <= 50"),
+        ],
+    )
+    mt = make_column_metrics_table(spark, str(tmp_path / "metrics"))
+    run_mappings(
+        spark, [m], resolve=lambda n: frames[n], run_id="r1",
+        column_metrics_table=mt,
+    )
+    stored = {
+        (r["addtnl_filter"], r["column_name"]): r for r in mt.read().collect()
+    }
+    assert stored[("N/A", "price")]["mismatches"] == 10
+    assert stored[("low", "price")]["mismatches"] == 5
+    assert stored[("low", "price")]["total_overlaps"] == 50
+    # rerun-safe (slice cleared, no duplicates)
+    run_mappings(
+        spark, [m], resolve=lambda n: frames[n], run_id="r1",
+        column_metrics_table=mt,
+    )
+    assert mt.read().count() == len(stored)
+    top = top_mismatched_columns(mt.read(), k=5, run_id="r1").collect()
+    assert [r["column_name"] for r in top] == ["price"]
