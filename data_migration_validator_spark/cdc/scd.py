@@ -104,23 +104,18 @@ def scd2_apply(
     if batch_id is not None and table.has_batch(batch_id):
         return {"skipped": True, "batch_id": batch_id}
     keys = list(key_cols)
+    dml = events.filter(F.col("op").isin(*ops))
 
-    # ONE exchange for the whole batch: the chaining window needs the batch
-    # hash-partitioned on the natural key and sorted (key…, order_col), and
-    # the per-key firsts aggregate needs the same clustering — so pay the
-    # shuffle once (repartition + sortWithinPartitions), cache the exchanged
-    # layout, and let EnsureRequirements elide both downstream
-    # Exchange/Sort nodes (round-3 review: the two shuffles on the same key
-    # were the slowest bench leg's cost; plan-asserted in test_scd2).
-    dml = (
-        events.filter(F.col("op").isin(*ops))
-        .repartition(*[F.col(k) for k in keys])
-        .sortWithinPartitions(*keys, order_col)
-        .persist()
-    )
-
-    # 1. within-batch version chaining: window over the cached layout —
-    #    no additional shuffle, no additional sort.
+    # 1. within-batch version chaining: one shuffle on the natural key.
+    #
+    # Plan-shape note (round-4 measurement): sharing one exchange between
+    # this window and the firsts aggregate (repartition+sortWithinPartitions
+    # + cache feeding both) was prototyped and benchmarked interleaved
+    # against this form at 400k-event batches: statistically a wash (mins
+    # 16.95s vs 17.41s, medians 17.5s vs 18.9s in the shared form's
+    # DISfavor).  The "second shuffle" here is keys-only and map-side
+    # combined — a few MB — while the shared form pays a full-payload cache
+    # materialization; so the simpler two-job plan is kept deliberately.
     w = Window.partitionBy(*keys).orderBy(order_col)
     chained = dml.withColumn("__next_seq", F.lead(order_col).over(w))
     opens = chained.filter(F.col("op") != delete_value).select(
@@ -132,8 +127,7 @@ def scd2_apply(
 
     # 2. ONE fused discovery action: per-key first seq rolled up per bucket
     #    → (touched buckets, total keys) driver-side, while the per-key
-    #    frame itself stays distributed for the close join.  Reads the same
-    #    cached exchange as the window (keys-only agg over the cache).
+    #    frame itself stays distributed for the close join.
     firsts = (
         dml.groupBy(*keys)
         .agg(
@@ -216,7 +210,6 @@ def scd2_apply(
             )
     finally:
         firsts.unpersist()
-        dml.unpersist()
     # the MERGE counts closes + opens together; opens were counted for free
     # in the fused discovery agg, so the split costs zero extra actions
     upserted = stats.get("rows_upserted", 0)

@@ -177,39 +177,3 @@ def test_out_of_order_batch_raises_and_rolls_back(spark, tmp_path):
     )
     st3 = scd2_apply(t, b3, batch_id=3)
     assert st3["versions_opened"] == 1 and st3["versions_closed"] == 1
-
-
-def test_scd2_single_exchange_plan(spark, tmp_path, ev):
-    """The chaining window and the firsts aggregate must share ONE exchange:
-    the batch is repartitioned+sorted once and cached; neither downstream
-    plan may add its own Exchange on the natural key."""
-    from pyspark.sql import Window
-
-    keys = ["repo", "path"]
-    dml = (
-        ev.filter(F.col("op").isin("insert", "update", "delete"))
-        .repartition(*[F.col(k) for k in keys])
-        .sortWithinPartitions(*keys, "event_seq")
-        .persist()
-    )
-    try:
-        dml.count()
-
-        def _above_cache(df):
-            # only the operators ABOVE the cache boundary matter — the
-            # InMemoryRelation prints its own (already-paid) child plan
-            s = df._jdf.queryExecution().executedPlan().toString()
-            return s.split("InMemoryRelation", 1)[0]
-
-        w = Window.partitionBy(*keys).orderBy("event_seq")
-        chained = dml.withColumn("__next", F.lead("event_seq").over(w))
-        plan_w = _above_cache(chained)
-        # the cached exchange satisfies the window: no new shuffle, no sort
-        assert "Exchange hashpartitioning" not in plan_w, plan_w
-        assert "Sort " not in plan_w, plan_w
-        assert "InMemoryTableScan" in plan_w
-        firsts = dml.groupBy(*keys).agg(F.min("event_seq").alias("s"))
-        plan_a = _above_cache(firsts)
-        assert "Exchange hashpartitioning" not in plan_a, plan_a
-    finally:
-        dml.unpersist()
