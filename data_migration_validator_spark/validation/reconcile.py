@@ -338,29 +338,28 @@ def addtnl_filter_metrics_from_annotated(
             aggs.append(
                 F.sum(F.when(base & ~eq, 1).otherwise(0)).alias(f"__x{i}__{c}")
             )
-    wide = ann.agg(*aggs)
-    slices = []
+    # ONE action on the (caller-persisted) annotated frame computes every
+    # counter; the F×C unpivot happens driver-side on the single wide row —
+    # a lazy per-slice union would instead re-run the aggregate once per
+    # slice branch (union branches don't share the agg subplan).
+    row = ann.agg(*aggs).first()
+    out_rows = []
     for i, (name, _cond) in enumerate(filters):
-        stack_items = ", ".join(
-            f"'{c}', `__m{i}__{c}`, `__x{i}__{c}`" for c in compare_cols
-        )
-        slices.append(
-            wide.select(
-                F.lit(name).alias("addtnl_filter"),
-                F.expr(
-                    f"stack({len(compare_cols)}, {stack_items}) "
-                    "as (column_name, matches, mismatches)"
-                ),
-                F.col(f"__t{i}").alias("total_overlaps"),
-            ).select(
-                "addtnl_filter", "column_name", "total_overlaps",
-                "matches", "mismatches",
+        for c in compare_cols:
+            out_rows.append(
+                (
+                    name,
+                    c,
+                    int(row[f"__t{i}"] or 0),
+                    int(row[f"__m{i}__{c}"] or 0),
+                    int(row[f"__x{i}__{c}"] or 0),
+                )
             )
-        )
-    out = slices[0]
-    for s in slices[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("addtnl_filter", "column_name")
+    return ann.sparkSession.createDataFrame(
+        out_rows,
+        "addtnl_filter string, column_name string, total_overlaps bigint,"
+        " matches bigint, mismatches bigint",
+    ).orderBy("addtnl_filter", "column_name")
 
 
 def mismatch_rows_from_annotated(
