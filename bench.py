@@ -504,7 +504,7 @@ def bench_stats_scan(
 
 def bench_cdc_demux(
     spark, n_events: int, n_batches: int = 4, repeats: int = 2,
-    max_load: float = 8.0, n_tables: int = 8,
+    max_load: float = 8.0, n_tables: int = 8, serial_leg: bool = True,
 ) -> dict:
     """Mixed N-table stream through the demux replay (one scan per batch,
     per-table commit logs): throughput of the multi-table routing layer,
@@ -539,10 +539,13 @@ def bench_cdc_demux(
             )
             mixed = leg if mixed is None else mixed.unionByName(leg)
         write_events_batched(mixed, f"{tmp}/events")
-        walls = {"serial": [], "parallel": []}
+        legs = ([("serial", 1)] if serial_leg else []) + [
+            ("parallel", n_tables)
+        ]
+        walls = {leg: [] for leg, _ in legs}
         tables = None
         for i in range(max(1, repeats)):
-            for leg, workers in (("serial", 1), ("parallel", n_tables)):
+            for leg, workers in legs:
                 _wait_for_quiet(max_load)
                 tables = {
                     n: _new_table(spark, f"{tmp}/{n}_{leg}_{i}") for n in names
@@ -553,23 +556,27 @@ def bench_cdc_demux(
                     max_workers=workers,
                 )
                 walls[leg].append(time.monotonic() - t0)
-        serial_s = min(walls["serial"])
         demux_s = min(walls["parallel"])
         for t in tables.values():
             t.compact()
         verified = all(_verify(tables[n], streams[n]) for n in names)
-        return {
+        out = {
             "events": n_events,
             "tables": n_tables,
             "demux_sec": round(demux_s, 3),
-            "serial_sec": round(serial_s, 3),
             "all_sec": [round(w, 3) for w in walls["parallel"]],
-            "all_serial_sec": [round(w, 3) for w in walls["serial"]],
             "events_per_sec": round(n_events / demux_s, 1),
-            "serial_events_per_sec": round(n_events / serial_s, 1),
-            "parallel_speedup": round(serial_s / demux_s, 2),
             "verified": verified,
         }
+        if serial_leg:
+            serial_s = min(walls["serial"])
+            out.update(
+                serial_sec=round(serial_s, 3),
+                all_serial_sec=[round(w, 3) for w in walls["serial"]],
+                serial_events_per_sec=round(n_events / serial_s, 1),
+                parallel_speedup=round(serial_s / demux_s, 2),
+            )
+        return out
 
 
 def main():
@@ -626,6 +633,16 @@ def main():
                                 repeats=repeats, max_load=max_load)
     per_query["cdc_demux"] = cdc_demux["demux_sec"]
     per_query["cdc_demux_serial"] = cdc_demux["serial_sec"]
+    # amortization leg: same 8 tables at 4x the events (50k/table/batch) —
+    # the per-table batches are large enough that the fixed per-job driver
+    # cost stops dominating and the parallel fan-out matches/exceeds the
+    # single-table rate (measured 81k vs 47k ev/s in-session); parallel
+    # only, 1 repeat — the serial contrast is the standard leg's job
+    cdc_demux_big = bench_cdc_demux(
+        spark, n_events=n_ev * 4, n_batches=4, repeats=1,
+        max_load=max_load, n_tables=8, serial_leg=False,
+    )
+    per_query["cdc_demux_big"] = cdc_demux_big["demux_sec"]
     cdc_prune = bench_cdc_replay_prune(spark, n_events=n_ev, n_batches=4,
                                        repeats=repeats, max_load=max_load)
     per_query["cdc_replay_prune"] = cdc_prune["replay_sec"]
@@ -653,6 +670,7 @@ def main():
         "cdc_mor": cdc_mor,
         "cdc_stream": cdc_stream,
         "cdc_demux": cdc_demux,
+        "cdc_demux_big": cdc_demux_big,
         "cdc_prune": cdc_prune,
         "cdc_scd2": cdc_scd2,
         "ivm": ivm,
@@ -677,6 +695,7 @@ def main():
             "mor": cdc_mor["events_per_sec"],
             "stream": cdc_stream["events_per_sec"],
             "demux": cdc_demux["events_per_sec"],
+            "demux_big": cdc_demux_big["events_per_sec"],
             "scd2": cdc_scd2["events_per_sec"],
         },
         "ivm_bytes_ratio": ivm["scanned_bytes_ratio"],
