@@ -944,8 +944,13 @@ def q_windowed_stream_metrics(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only): binary payloads → mapInPandas Arrow
-    feature extraction (stub kernel) + JVM-side resize planning."""
+    """Multimodal plumbing: binary payloads → mapInPandas Arrow feature
+    extraction + JVM-side resize planning.  The decode kernel is the
+    documented sandbox stub (operators/multimodal.py: no PIL/librosa/av in
+    the container), but the stub is fully DETERMINISTIC (sha256-derived
+    features), so the whole pipeline — payload synthesis, Arrow batch
+    plumbing, digest, float32 feature quantization, resize plan — is
+    value-checked against a DuckDB oracle reproducing the same hashes."""
     from data_migration_validator_spark.operators.multimodal import (
         extract_features,
         make_media_table,
@@ -2904,6 +2909,43 @@ def oracle_sql() -> dict[str, str]:
         FROM c
     """
     sqls["addtnl_filter_metrics"] = _addtnl_filters_oracle()
+    # multimodal stub pipeline, hash-reproduced: payload = UTF-8 bytes of
+    # sha256-hex(id); digest = sha256(payload); f0 = round(float32(first
+    # byte of sha256(payload||kind) / 255), 6); resize plan in plain double
+    # arithmetic.  Same IEEE ops both engines → bit-identical outputs.
+    sqls["multimodal_features"] = """
+        WITH ids AS (SELECT range AS media_id FROM range(0, 256)),
+        m AS (
+            SELECT media_id,
+                   ['image','audio','video'][CAST(media_id % 3 AS INT) + 1]
+                       AS kind,
+                   sha256(CAST(media_id AS VARCHAR)) AS payload_hex,
+                   CAST((media_id % 64) * 16 + 16 AS INT) AS w,
+                   CAST((media_id % 48) * 16 + 16 AS INT) AS h
+            FROM ids
+        ),
+        f AS (
+            SELECT media_id, kind, w, h,
+                   CAST(64 AS INT) AS n_bytes,
+                   sha256(payload_hex) AS digest,
+                   (strpos('0123456789abcdef',
+                           substr(sha256(payload_hex || kind), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef',
+                            substr(sha256(payload_hex || kind), 2, 1)) - 1
+                       AS b0
+            FROM m
+        )
+        SELECT media_id, kind, n_bytes, digest,
+               CAST(ROUND(CAST(CAST(b0 / 255.0 AS REAL) AS DOUBLE), 6)
+                    AS REAL) AS f0,
+               CAST(CEIL(w * LEAST(256 / CAST(w AS DOUBLE),
+                                   256 / CAST(h AS DOUBLE), 1.0)) AS INT)
+                   AS target_width,
+               CAST(CEIL(h * LEAST(256 / CAST(w AS DOUBLE),
+                                   256 / CAST(h AS DOUBLE), 1.0)) AS INT)
+                   AS target_height
+        FROM f ORDER BY media_id
+    """
     # streaming windowed metrics: finalized windows only — window_end must
     # precede the final watermark (max ts − 1h); day buckets are
     # midnight-aligned in both engines
