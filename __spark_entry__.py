@@ -1292,6 +1292,35 @@ def q_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# single source of truth for the mixture-sample targets: the Spark query
+# and the generated DuckDB oracle must normalize the SAME dict in the SAME
+# insertion order (float sum order matters for bit-identical rates)
+_MIX_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampler (training-data mix shaping): per-source
+    hash-threshold rates solved so the sample follows the target mix
+    (50/30/20 over three sources), maximal under availability.  Output:
+    per-source membership checksum (count + id/char sums) of the sampled
+    rows — pins exact membership, not just counts."""
+    from data_migration_validator_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(d, ["doc_id"], "source", dict(_MIX_TARGETS))
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_deterministic_sample(spark, sf_dir):
     """Hash-threshold Bernoulli sample (~15% of orders): membership a pure
     function of the key — rerun/partitioning-stable, a narrow codegen'd
@@ -1761,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_rows": q_anomaly_rows,
         "table_changes": q_table_changes,
         "pii_scrub": q_pii_scrub,
+        "mixture_sample": q_mixture_sample,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
         "sample_topk": q_sample_topk,
@@ -1780,6 +1810,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "range_join": q_range_join,
     }
+
+
+def _mixture_sample_oracle() -> str:
+    """Generated DuckDB oracle for q_mixture_sample: the rate solve
+    (T = min n_d/p_d; rate_d = p_d·T/n_d) runs in SQL over the live
+    per-source counts with the SAME normalized target literals and the
+    SAME ieee op order as operators/sampling.mixture_plan; thresholds
+    replicate _threshold_hex (truncate to 8 lowercase hex chars, 'g'
+    sentinel at rate 1.0); membership is the identical md5-prefix
+    predicate."""
+    s = sum(_MIX_TARGETS.values())
+    norm = {d: p / s for d, p in _MIX_TARGETS.items() if p > 0}
+    p_values = ", ".join(f"('{d}', {p!r})" for d, p in norm.items())
+    src_list = ", ".join(f"'{d}'" for d in norm)
+    return f"""
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents WHERE source IN ({src_list}) GROUP BY source
+        ),
+        p(source, p) AS (VALUES {p_values}),
+        t AS (SELECT MIN(n / p) AS big_t FROM c JOIN p USING (source)),
+        r AS (
+            SELECT source, LEAST(1.0, p * big_t / n) AS rate
+            FROM c JOIN p USING (source), t
+        ),
+        thr AS (
+            SELECT source,
+                   CASE WHEN rate >= 1.0 THEN 'g0000000'
+                        ELSE lower(lpad(to_hex(LEAST(
+                            CAST(FLOOR(rate * 4294967296.0) AS BIGINT),
+                            4294967295)), 8, '0'))
+                   END AS th
+            FROM r
+        )
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(d.doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        FROM documents d JOIN thr USING (source)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th
+        GROUP BY d.source ORDER BY d.source
+    """
 
 
 def _addtnl_filters_oracle() -> str:
@@ -2909,6 +2980,7 @@ def oracle_sql() -> dict[str, str]:
         FROM c
     """
     sqls["addtnl_filter_metrics"] = _addtnl_filters_oracle()
+    sqls["mixture_sample"] = _mixture_sample_oracle()
     # multimodal stub pipeline, hash-reproduced: payload = UTF-8 bytes of
     # sha256-hex(id); digest = sha256(payload); f0 = round(float32(first
     # byte of sha256(payload||kind) / 255), 6); resize plan in plain double

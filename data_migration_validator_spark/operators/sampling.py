@@ -102,3 +102,82 @@ def sample_exact_k(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
         .limit(k)
         .drop(h)
     )
+
+
+def mixture_plan(
+    counts: dict[str, int],
+    targets: dict[str, float],
+    max_total: int | None = None,
+) -> dict[str, float]:
+    """Solve per-domain sampling fractions for a target corpus MIXTURE.
+
+    Training-data pipelines rarely want a uniform sample — they want the
+    OUTPUT to follow a prescribed source mix (e.g. 50% code / 30% web /
+    20% books) regardless of how skewed the raw corpus is.  Given
+    available per-domain row counts and target proportions (normalized
+    over the targeted domains), the largest total consistent with
+    availability is ``T = min_d(n_d / p_d)`` (the scarcest domain binds);
+    each domain then samples at ``rate_d = p_d · T / n_d`` — the binding
+    domain at 1.0, abundant domains down-sampled.  ``max_total`` caps T
+    (sub-sampling every domain proportionally).  A targeted domain with
+    ZERO available rows makes the exact mix infeasible: T = 0 and the
+    plan is empty — callers that prefer best-effort drop the domain from
+    ``targets`` and re-solve.
+
+    Pure driver-side arithmetic on #domains numbers; the data-touching
+    halves are one count aggregation (caller) and one narrow
+    hash-threshold filter (:func:`mixture_sample`).
+    """
+    if not targets:
+        return {}
+    s = sum(targets.values())
+    if s <= 0:
+        raise ValueError("targets must have positive total weight")
+    norm = {d: p / s for d, p in targets.items() if p > 0}
+    t_max = min(counts.get(d, 0) / p for d, p in norm.items())
+    if max_total is not None:
+        t_max = min(t_max, float(max_total))
+    if t_max <= 0:
+        return {}
+    return {
+        d: min(1.0, p * t_max / counts[d])
+        for d, p in norm.items()
+        if counts.get(d)
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    domain_col: str,
+    targets: dict[str, float],
+    max_total: int | None = None,
+) -> DataFrame:
+    """Deterministic domain-mixture sample: ONE count aggregation (only the
+    targeted domains, narrow) + :func:`mixture_plan` + ONE per-domain
+    hash-threshold filter — the output approximates the target mixture,
+    maximal size under availability, rerun/partitioning-stable, and no
+    shuffle ever touches the payload.  Domains outside ``targets`` are
+    dropped (the mixture defines the corpus)."""
+    domains = [d for d, p in targets.items() if p > 0]
+    if not domains:
+        return df.limit(0)
+    counts = {
+        r[domain_col]: r["__n"]
+        for r in (
+            df.filter(F.col(domain_col).isin(domains))
+            .groupBy(domain_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+    }
+    plan = mixture_plan(counts, targets, max_total)
+    if not plan:
+        return df.limit(0)
+    return stratified_sample(
+        df.filter(F.col(domain_col).isin(list(plan))),
+        key_cols,
+        domain_col,
+        plan,
+        default_fraction=0.0,
+    )

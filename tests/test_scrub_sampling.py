@@ -165,3 +165,63 @@ def test_sample_exact_k_preserves_user_hash_column(spark):
     out = sample_exact_k(df, ["doc_id"], 5)
     assert "__sample_h" in out.columns
     assert {r["__sample_h"] for r in out.collect()} == {"keep-me"}
+
+
+def test_mixture_plan_solve():
+    from data_migration_validator_spark.operators.sampling import mixture_plan
+
+    counts = {"code": 1000, "web": 10_000, "books": 400}
+    # target 50/30/20: books binds (400/0.2 = 2000 = T)
+    plan = mixture_plan(counts, {"code": 0.5, "web": 0.3, "books": 0.2})
+    assert plan["books"] == 1.0
+    assert abs(plan["code"] - (0.5 * 2000 / 1000)) < 1e-12
+    assert abs(plan["web"] - (0.3 * 2000 / 10_000)) < 1e-12
+    # cap: max_total halves every rate
+    capped = mixture_plan(
+        counts, {"code": 0.5, "web": 0.3, "books": 0.2}, max_total=1000
+    )
+    assert abs(capped["books"] - 0.5) < 1e-12
+    assert abs(capped["code"] - 0.5) < 1e-12
+    # a targeted domain with zero rows -> infeasible exact mix -> empty
+    assert mixture_plan({"code": 10}, {"code": 0.5, "missing": 0.5}) == {}
+    # weights normalize (2:1 == 0.5:0.25 scaled)
+    a = mixture_plan(counts, {"code": 2.0, "web": 1.0})
+    b = mixture_plan(counts, {"code": 0.5, "web": 0.25})
+    assert a == b
+
+
+def test_mixture_sample_hits_target_mix(spark):
+    from data_migration_validator_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    # skewed corpus: 2000 web, 500 code, 100 books
+    df = (
+        spark.range(2600)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") < 2000, F.lit("web"))
+            .when(F.col("id") < 2500, F.lit("code"))
+            .otherwise(F.lit("books"))
+            .alias("domain"),
+        )
+    )
+    out = mixture_sample(
+        df, ["id"], "domain", {"web": 0.3, "code": 0.5, "books": 0.2}
+    )
+    got = {r["domain"]: r["n"] for r in
+           out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # books binds: T = 100/0.2 = 500 → expect ~150 web / ~250 code / 100 books
+    assert got["books"] == 100  # rate 1.0 keeps every row
+    assert abs(got["web"] - 150) <= 40   # Bernoulli tolerance
+    assert abs(got["code"] - 250) <= 45
+    # untargeted rows never leak in
+    out2 = mixture_sample(df, ["id"], "domain", {"books": 1.0})
+    assert {r["domain"] for r in out2.select("domain").distinct().collect()} == {"books"}
+    # deterministic: identical rerun, identical membership
+    ids1 = {r["id"] for r in out.select("id").collect()}
+    ids2 = {r["id"] for r in
+            mixture_sample(df.repartition(7), ["id"], "domain",
+                           {"web": 0.3, "code": 0.5, "books": 0.2})
+            .select("id").collect()}
+    assert ids1 == ids2
