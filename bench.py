@@ -285,13 +285,19 @@ def bench_cdc_stream(
 
 def bench_cdc_scd2(
     spark, n_events: int, n_batches: int = 4, repeats: int = 2,
-    max_load: float = 8.0,
+    max_load: float = 8.0, merge_mode: str | None = None,
+    compact_every: int | None = None,
 ) -> dict:
     """SCD Type-2 history maintenance over the same fixture: every event
     opens a version / closes the prior one through the incremental
     per-batch MERGE (cdc/scd.py).  Verified: the maintained history equals
     the from-scratch LEAD-window definition row-for-row (hash_reconcile
-    keyed on (repo, path, valid_from_seq))."""
+    keyed on (repo, path, valid_from_seq)).
+
+    ``merge_mode="mor"`` + ``compact_every``: the sustained-ingest shape —
+    closes ∪ opens land as O(batch) deltas (history is append-mostly: closed
+    versions are immutable, so COW's per-batch bucket rewrite is nearly all
+    write amplification); in-loop compaction cost is INCLUDED in the wall."""
     from pyspark.sql import functions as F
 
     from data_migration_validator_spark.cdc.scd import (
@@ -307,16 +313,20 @@ def bench_cdc_scd2(
         ev = _events_fixture(spark, tmp, n_events, n_batches)
         events = spark.read.parquet(f"{tmp}/events")
         walls, table = [], None
+        kw = {}
+        if merge_mode is not None:
+            kw = {"merge_mode": merge_mode, "compact_every": compact_every}
         for i in range(max(1, repeats)):
             _wait_for_quiet(max_load)
             table = make_scd2_table(
-                spark, f"{tmp}/hist_{i}", ["repo", "path"],
+                spark, f"{tmp}/hist_{merge_mode or 'cow'}_{i}",
+                ["repo", "path"],
                 [("commit", "string"), ("lang", "string"),
                  ("content", "string")],
                 num_buckets=16,
             )
             t0 = time.monotonic()
-            scd2_replay(table, events)
+            scd2_replay(table, events, **kw)
             walls.append(time.monotonic() - t0)
         scd2_s = min(walls)
         rec = hash_reconcile(
@@ -649,6 +659,10 @@ def main():
     cdc_scd2 = bench_cdc_scd2(spark, n_events=n_ev, n_batches=4,
                               repeats=repeats, max_load=max_load)
     per_query["cdc_scd2"] = cdc_scd2["scd2_sec"]
+    cdc_scd2_mor = bench_cdc_scd2(spark, n_events=n_ev, n_batches=4,
+                                  repeats=repeats, max_load=max_load,
+                                  merge_mode="mor", compact_every=2)
+    per_query["cdc_scd2_mor"] = cdc_scd2_mor["scd2_sec"]
     ivm = bench_ivm(spark, n_events=n_ev, repeats=repeats, max_load=max_load)
     per_query["ivm_refresh"] = ivm["refresh_sec"]
     per_query["ivm_recompute"] = ivm["recompute_sec"]
@@ -673,6 +687,7 @@ def main():
         "cdc_demux_big": cdc_demux_big,
         "cdc_prune": cdc_prune,
         "cdc_scd2": cdc_scd2,
+        "cdc_scd2_mor": cdc_scd2_mor,
         "ivm": ivm,
         "stats_scan": sscan,
     }
@@ -697,12 +712,13 @@ def main():
             "demux": cdc_demux["events_per_sec"],
             "demux_big": cdc_demux_big["events_per_sec"],
             "scd2": cdc_scd2["events_per_sec"],
+            "scd2_mor": cdc_scd2_mor["events_per_sec"],
         },
         "ivm_bytes_ratio": ivm["scanned_bytes_ratio"],
         "verified": all(
             d.get("verified")
             for d in (cdc, cdc_mor, cdc_stream, cdc_demux, cdc_prune,
-                      cdc_scd2, ivm, sscan)
+                      cdc_scd2, cdc_scd2_mor, ivm, sscan)
         ),
     }
     line = json.dumps(compact)

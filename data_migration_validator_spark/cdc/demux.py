@@ -43,6 +43,28 @@ from .quarantine import quarantine_rows
 REASON_UNKNOWN_TABLE = "unknown_table"
 
 
+class DemuxBatchError(RuntimeError):
+    """One or more per-table applies failed inside a demux fan-out.
+
+    The concurrent fan-out runs every table's apply to completion before
+    raising, so a multi-table failure surfaces as ALL of its per-table
+    errors (``failures``: {table_name: exception}) plus the stats of the
+    tables that DID commit (``partial``) — not just whichever future
+    happened to be inspected first.  Committed tables no-op on redelivery
+    (per-table commit logs), so the caller can retry the batch as-is."""
+
+    def __init__(self, failures: dict, partial: dict):
+        names = ", ".join(sorted(failures))
+        first = next(iter(failures.values()))
+        super().__init__(
+            f"demux batch failed for {len(failures)} table(s) [{names}]; "
+            f"{len(partial)} table(s) committed and will no-op on retry. "
+            f"First error: {first!r}"
+        )
+        self.failures = failures
+        self.partial = partial
+
+
 def demux_batch(
     tables: dict[str, LakeTable],
     events: DataFrame,
@@ -79,23 +101,39 @@ def demux_batch(
     if not pending and quarantine is None:
         return {name: {"skipped": True, "batch_id": batch_id} for name in tables}
 
+    # NULL routing values must be dead-lettered too: a bare ~isin evaluates
+    # to NULL for them and the filter would silently drop the rows — the
+    # exact silent-loss mode this module exists to close.
+    unknown_cond = F.col(table_col).isNull() | ~F.col(table_col).isin(
+        *tables.keys()
+    )
+    obs = None
+    if quarantine is not None and pending:
+        # the unknown-row COUNT rides the cache-materialization action via
+        # observe — no separate count job per micro-batch (the single-table
+        # path fuses its bad-row count the same way)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        events = events.observe(
+            obs, F.sum(unknown_cond.cast("long")).alias("n_unknown")
+        )
     events = events.persist()
     try:
         # quarantine work only when at least one table still needs the
         # batch: on a fully-committed redelivery the unknown-row upsert
         # already happened (it runs before any table commit), so re-running
         # it would pay a scan + MERGE commit for zero effect
-        if quarantine is not None and pending:
-            # NULL routing values must be dead-lettered too: a bare ~isin
-            # evaluates to NULL for them and the filter would silently drop
-            # the rows — the exact silent-loss mode this module exists to
-            # close.
-            unknown = events.filter(
-                F.col(table_col).isNull()
-                | ~F.col(table_col).isin(*tables.keys())
-            ).withColumn("dlq_reason", F.lit(REASON_UNKNOWN_TABLE))
-            n_unknown = unknown.count()
+        if obs is not None:
+            # ONE action: fills the shared cache (the fan-out's slices and
+            # the quarantine filter below are cached scans) AND lands the
+            # observed unknown count
+            events.count()
+            n_unknown = int(obs.get.get("n_unknown") or 0)
             if n_unknown:
+                unknown = events.filter(unknown_cond).withColumn(
+                    "dlq_reason", F.lit(REASON_UNKNOWN_TABLE)
+                )
                 quarantine.merge(
                     quarantine_rows(unknown, batch_id), count_deletes=False
                 )
@@ -132,15 +170,30 @@ def demux_batch(
         if max_workers > 1 and len(todo) > 1:
             # materialize the shared cache ONCE before the fan-out so the
             # threads' first actions don't race to compute it in duplicate
-            events.count()
+            # (already done by the observed count when quarantining)
+            if obs is None:
+                events.count()
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(
                 max_workers=min(max_workers, len(todo))
             ) as pool:
                 futs = {n: pool.submit(_one, n, t) for n, t in todo}
+            # every future ran to completion inside the with-block: report
+            # ALL failures (+ the committed tables' stats), not just the
+            # first in dict order — a multi-table failure must not
+            # masquerade as a single-table one
+            failures: dict[str, BaseException] = {}
             for n, fut in futs.items():
-                out[n] = fut.result()  # re-raises the first per-table error
+                err = fut.exception()
+                if err is None:
+                    out[n] = fut.result()
+                else:
+                    failures[n] = err
+            if failures:
+                raise DemuxBatchError(failures, out) from next(
+                    iter(failures.values())
+                )
         else:
             for name, t in todo:
                 out[name] = _one(name, t)

@@ -85,6 +85,38 @@ def make_scd2_table(
     )
 
 
+def _read_open_versions(table: LakeTable, touched: list[int]) -> DataFrame:
+    """Current OPEN version rows (``valid_to_seq IS NULL``) of the touched
+    buckets — the close-set scan's input.
+
+    Under merge-on-read this must NOT go through ``table.read()``: plain MOR
+    resolution aggregates EVERY row of the touched buckets (base ∪ deltas)
+    before the open filter can apply, i.e. the whole history shuffles per
+    batch.  SCD2 grants a stronger invariant: a version row is updated
+    exactly once — the close that sets ``valid_to_seq`` — and is immutable
+    afterwards, so a base row with ``valid_to_seq`` set can never be
+    superseded by a delta.  The open filter is therefore SOUND on the base
+    side *before* resolution: only open-candidate base rows (≤ #live keys,
+    parquet-pushdown-filtered at the scan) and the uncompacted delta rows
+    (bounded by the compaction policy) enter the latest-wins aggregate,
+    keeping the close scan O(live keys + deltas) instead of O(history).
+    """
+    cur = table.schema
+    base_open = table._read_base(cur, touched).filter(F.col(VALID_TO).isNull())
+    bset = set(touched)
+    deltas = [
+        e for e in table.manifest.get("deltas", []) if e["bucket"] in bset
+    ]
+    if not deltas:
+        return base_open
+    # deltas carry both opens (valid_to NULL) and closes (valid_to set);
+    # closes must enter resolution so they supersede the open base row,
+    # then the post-resolution filter drops them
+    return table._resolve_mor(base_open, deltas, cur).filter(
+        F.col(VALID_TO).isNull()
+    )
+
+
 def scd2_apply(
     table: LakeTable,
     events: DataFrame,
@@ -95,60 +127,95 @@ def scd2_apply(
     delete_value: str = "delete",
     ops: tuple[str, ...] = ("insert", "update", "delete"),
     broadcast_max_keys: int = 500_000,
+    merge_mode: str | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to the SCD2 history table.
 
     Idempotent on ``batch_id`` (skips via the table's commit log before any
     Spark work).  Returns {versions_opened, versions_closed, skipped}.
+
+    ``merge_mode``: "cow" | "mor" | None (table property, default cow).
+    "mor" is the sustained-ingest shape: closes ∪ opens land as O(batch)
+    delta files instead of rewriting every touched bucket's history — the
+    history table is append-mostly by construction (closed versions are
+    immutable), so COW's per-batch rewrite is almost pure write
+    amplification.  Pair with periodic :meth:`LakeTable.compact` /
+    ``maybe_compact`` exactly like the replay path.
     """
     if batch_id is not None and table.has_batch(batch_id):
         return {"skipped": True, "batch_id": batch_id}
     keys = list(key_cols)
-    dml = events.filter(F.col("op").isin(*ops))
+    dml = events.filter(F.col("op").isin(*ops)).select(
+        *keys, order_col, "op", *payload_cols
+    )
 
-    # 1. within-batch version chaining: one shuffle on the natural key.
+    # 1. within-batch version chaining, bucket-aligned: ONE payload
+    #    exchange on (__bucket, key-hash salt) serves the chaining window,
+    #    the per-key firsts discovery, AND the delta-write layout — the
+    #    same single-shuffle fusion as ``dedup_bucket_aligned``, forward-
+    #    chaining instead of latest-wins.  Every row of a key lands in the
+    #    same partition (salt is a pure key hash), the window sorts by
+    #    (key-hash, keys, seq) ascending, and:
+    #      * ``lead(seq)`` is the next version's seq IFF the next row is
+    #        the SAME key — exactly lead() over partitionBy(keys);
+    #      * the key-group's FIRST row (lag boundary) carries the batch's
+    #        min seq for the key — the close seq, no separate groupBy.
     #
-    # Plan-shape note (round-4 measurement): sharing one exchange between
-    # this window and the firsts aggregate (repartition+sortWithinPartitions
-    # + cache feeding both) was prototyped and benchmarked interleaved
-    # against this form at 400k-event batches: statistically a wash (mins
-    # 16.95s vs 17.41s, medians 17.5s vs 18.9s in the shared form's
-    # DISfavor).  The "second shuffle" here is keys-only and map-side
-    # combined — a few MB — while the shared form pays a full-payload cache
-    # materialization; so the simpler two-job plan is kept deliberately.
-    w = Window.partitionBy(*keys).orderBy(order_col)
-    chained = dml.withColumn("__next_seq", F.lead(order_col).over(w))
+    #    (Round-4 note: sharing the exchange between a keys-window and the
+    #    firsts groupBy measured a wash because the cache materialized the
+    #    full payload while the groupBy's exchange was keys-only and
+    #    map-side combined.  This round's fusion is different: it removes
+    #    the WRITE-side payload repartition — the merge's O(batch) delta
+    #    write consumes this exchange's layout directly — so the cache
+    #    pays for a whole payload shuffle, not a keys-only one.)
+    wsalt = 8
+    khash = F.xxhash64(*[F.col(k) for k in keys])
+    df = dml.withColumn("__bucket", table.bucket_expr(keys[0])).withColumn(
+        "__wsalt", F.pmod(khash, F.lit(wsalt))
+    )
+    df = df.repartition(F.col("__bucket"), F.col("__wsalt"))
+    w = Window.partitionBy("__bucket", "__wsalt").orderBy(
+        khash, *[F.col(k) for k in keys], F.col(order_col)
+    )
+    from functools import reduce
+
+    prev_same = reduce(
+        lambda a, b: a & b,
+        [F.lag(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in keys],
+    )
+    next_same = reduce(
+        lambda a, b: a & b,
+        [F.lead(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in keys],
+    )
+    chained = df.withColumns(
+        {
+            "__next_seq": F.when(next_same, F.lead(order_col).over(w)),
+            "__is_first": F.lag(F.col(order_col)).over(w).isNull()
+            | ~prev_same,
+        }
+    ).persist()
     opens = chained.filter(F.col("op") != delete_value).select(
         *keys,
         F.col(order_col).cast("bigint").alias(VALID_FROM),
         *payload_cols,
         F.col("__next_seq").cast("bigint").alias(VALID_TO),
+        F.col("__bucket"),
     )
 
-    # 2. ONE fused discovery action: per-key first seq rolled up per bucket
-    #    → (touched buckets, total keys) driver-side, while the per-key
-    #    frame itself stays distributed for the close join.
-    firsts = (
-        dml.groupBy(*keys)
-        .agg(
-            F.min(order_col).cast("bigint").alias("__close_seq"),
-            F.sum((F.col("op") != delete_value).cast("bigint")).alias("__n_opens"),
-        )
-        .persist()
-    )
+    # 2. ONE fused discovery action over the cached exchange: touched
+    #    buckets + key count + open count in a single aggregate (this also
+    #    materializes the cache the close join and delta write reuse).
+    firsts = chained.filter(F.col("__is_first"))
     try:
-        bucket_of = table.bucket_expr(keys[0])
-        agg = (
-            firsts.withColumn("__bucket", bucket_of)
-            .agg(
-                F.collect_set("__bucket").alias("buckets"),
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum("__n_opens").alias("n_opens"),
-            )
-            .first()
-        )
+        agg = chained.agg(
+            F.collect_set("__bucket").alias("buckets"),
+            F.sum(F.col("__is_first").cast("bigint")).alias("n_keys"),
+            F.sum((F.col("op") != delete_value).cast("bigint")).alias(
+                "n_opens"
+            ),
+        ).first()
         touched = sorted(int(b) for b in (agg["buckets"] or []))
-        n_keys = int(agg["n_keys"])
+        n_keys = int(agg["n_keys"] or 0)
         n_opens = int(agg["n_opens"] or 0)
         if not touched:
             # empty batch (e.g. pure schema events): just mark it applied
@@ -161,45 +228,89 @@ def scd2_apply(
             return {"versions_opened": 0, "versions_closed": 0, "skipped": False}
 
         # 3. close the table's current version for every touched key:
-        #    bucket-pruned scan of open rows only, broadcast the small
-        #    min-seq frame (shuffle join fallback for backfill-size batches).
-        current = table.read(buckets=touched).filter(F.col(VALID_TO).isNull())
-        firsts_keyed = firsts.drop("__n_opens")
-        rhs = (
-            F.broadcast(firsts_keyed)
-            if n_keys <= broadcast_max_keys else firsts_keyed
+        #    bucket-pruned scan of open rows only (base-side open filter
+        #    BEFORE MOR resolution — sound because closed versions are
+        #    immutable), broadcast the small min-seq frame (shuffle join
+        #    fallback for backfill-size batches).  A brand-new/empty table
+        #    region skips the join (and its guard observation — Catalyst
+        #    propagates the empty local relation and would prune the
+        #    CollectMetrics node with it): nothing exists to close.
+        bset = set(touched)
+        has_current = any(
+            f["bucket"] in bset
+            for f in table.manifest["files"] + table.manifest.get("deltas", [])
         )
-        closes = current.alias("c").join(rhs.alias("f"), on=keys, how="inner")
-        closes = closes.select(
-            *keys,
-            F.col(f"c.{VALID_FROM}").alias(VALID_FROM),
-            *[F.col(f"c.{p}").alias(p) for p in payload_cols],
-            F.col("f.__close_seq").alias(VALID_TO),
-        )
-        # Out-of-order-delivery guard: a batch whose min seq for a key
-        # PRECEDES the open version's valid_from would silently write an
-        # inverted interval (valid_to < valid_from) — e.g. a file stream
-        # delivering same-mtime files out of listing order.  The check
-        # rides the MERGE's own action via observe (zero extra jobs); on a
-        # hit the just-committed batch is rolled back (pure metadata) and
-        # the corruption becomes a hard error instead of silent history.
-        from pyspark.sql import Observation
+        obs = None
+        closes = None
+        if has_current:
+            current = _read_open_versions(table, touched)
+            firsts_keyed = firsts.select(
+                *keys, F.col(order_col).cast("bigint").alias("__close_seq")
+            )
+            rhs = (
+                F.broadcast(firsts_keyed)
+                if n_keys <= broadcast_max_keys else firsts_keyed
+            )
+            closes = current.alias("c").join(rhs.alias("f"), on=keys, how="inner")
+            closes = closes.select(
+                *keys,
+                F.col(f"c.{VALID_FROM}").alias(VALID_FROM),
+                *[F.col(f"c.{p}").alias(p) for p in payload_cols],
+                F.col("f.__close_seq").alias(VALID_TO),
+            )
+            # Out-of-order-delivery guard: a batch whose min seq for a key
+            # PRECEDES the open version's valid_from would silently write an
+            # inverted interval (valid_to < valid_from) — e.g. a file stream
+            # delivering same-mtime files out of listing order.  The check
+            # rides the MERGE's own action via observe (zero extra jobs); on
+            # a hit the just-committed batch is rolled back (pure metadata)
+            # and the corruption becomes a hard error instead of silent
+            # history.
+            from pyspark.sql import Observation
 
-        obs = Observation()
-        closes = closes.observe(
-            obs,
-            F.sum(
-                (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
-            ).alias("inverted"),
-        )
+            obs = Observation()
+            closes = closes.observe(
+                obs,
+                F.sum(
+                    (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
+                ).alias("inverted"),
+            )
 
         # 4. one exactly-once MERGE: closes are updates of existing version
         #    rows, opens are inserts; keys (natural key + valid_from) are
         #    distinct across the union by construction.
-        change_set = closes.unionByName(opens).withColumn("op", F.lit("upsert"))
+        #
+        #    MOR hands the chaining exchange's layout straight to the delta
+        #    writer (pre_partitioned): opens kept their (__bucket, salt)
+        #    partitioning from the cache, and the small close-set (≤ one
+        #    row per live key) gets its own tiny bucket repartition — the
+        #    union concatenates partition lists without reshuffling either
+        #    side, so the batch's payload crossed the wire exactly once.
         pre_seq = int(table.manifest["seq"])
-        stats = table.merge(change_set, op_col="op", batch_id=batch_id)
-        inverted = int(obs.get.get("inverted") or 0)
+        resolved_mode = merge_mode or table.manifest["properties"].get(
+            "write.merge.mode", "cow"
+        )
+        if resolved_mode == "mor":
+            change_set = opens
+            if closes is not None:
+                closes_aligned = closes.withColumn(
+                    "__bucket", table.bucket_expr(keys[0])
+                ).repartition(F.col("__bucket"))
+                change_set = closes_aligned.unionByName(opens)
+            change_set = change_set.withColumn("op", F.lit("upsert"))
+            stats = table.merge(
+                change_set, op_col="op", batch_id=batch_id, mode="mor",
+                pre_partitioned=True,
+            )
+        else:
+            change_set = opens.drop("__bucket")
+            if closes is not None:
+                change_set = closes.unionByName(change_set)
+            change_set = change_set.withColumn("op", F.lit("upsert"))
+            stats = table.merge(
+                change_set, op_col="op", batch_id=batch_id, mode=merge_mode
+            )
+        inverted = int(obs.get.get("inverted") or 0) if obs is not None else 0
         if inverted:
             table.rollback(pre_seq)
             raise ValueError(
@@ -209,7 +320,7 @@ def scd2_apply(
                 "the stream in order or quarantine the offending source"
             )
     finally:
-        firsts.unpersist()
+        chained.unpersist()
     # the MERGE counts closes + opens together; opens were counted for free
     # in the fused discovery agg, so the split costs zero extra actions
     upserted = stats.get("rows_upserted", 0)
@@ -225,22 +336,32 @@ def scd2_replay(
     table: LakeTable,
     events: DataFrame,
     batch_col: str = "batch_hint",
+    compact_every: int | None = None,
     **kwargs,
 ) -> dict:
     """Replay an already-materialized event frame batch-by-batch (ordered by
     ``batch_col``) — the test/driver harness around :func:`scd2_apply`; the
-    streaming path wraps the same apply in foreachBatch."""
+    streaming path wraps the same apply in foreachBatch.
+
+    ``compact_every=k`` (with ``merge_mode="mor"`` in ``kwargs``) folds the
+    accumulated delta files into the base every k applied batches — same
+    idempotent-maintenance contract as ``cdc.replay.replay``: a crash
+    between a merge and its compaction loses nothing."""
     batches = [
         int(r[batch_col])
         for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
     ]
-    opened = closed = 0
+    opened = closed = n_applied = 0
     for b in batches:
         st = scd2_apply(
             table, events.filter(F.col(batch_col) == b), batch_id=b, **kwargs
         )
         opened += st.get("versions_opened", 0)
         closed += st.get("versions_closed", 0)
+        if not st.get("skipped"):
+            n_applied += 1
+            if compact_every and n_applied % compact_every == 0:
+                table.compact()
     return {
         "batches": len(batches),
         "versions_opened": opened,

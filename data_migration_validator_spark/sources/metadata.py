@@ -203,7 +203,8 @@ _DIALECT_COMMENT_COLS: dict[str, str | None] = {
     "mssql": "COLUMN_COMMENT",     # MS_Description ext-props join above
     "snowflake": "COMMENT",        # information_schema.columns.comment
     "netezza": "description",      # _v_relation_column
-    "oracle": None,
+    "oracle": "COMMENTS",        # all_tab_columns ⟕ USER_COL_COMMENTS
+                                   # (oracle-extract.py:51-52 exposes COMMENTS)
     "hive": "comment",
     "spark": "comment",
 }

@@ -209,6 +209,7 @@ def run_scd2_stream_once(
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
     timeout_s: int = 600,
+    compact_ratio: float | None = None,
     **scd_kwargs,
 ) -> None:
     """Tail the event directory into an SCD Type-2 *history* table
@@ -221,7 +222,13 @@ def run_scd2_stream_once(
     in listing order, the same contract batch replay relies on (the fixture
     writes ``batch_hint=N`` directories in sequence); a source that can
     reorder needs the stateful ordering gate upstream.  Safe to re-run with
-    the same checkpoint: replayed batchIds no-op via the commit log."""
+    the same checkpoint: replayed batchIds no-op via the commit log.
+
+    ``merge_mode="mor"`` (forwarded via ``scd_kwargs``) makes each batch an
+    O(batch) delta commit; ``compact_ratio`` then bounds the delta pile the
+    close-set scan resolves per batch (:meth:`LakeTable.maybe_compact` — a
+    metadata-only decision per batch, same in-loop policy as the mirror
+    sink above)."""
     spark = history.spark
     stream = (
         spark.readStream.schema(EVENT_STREAM_SCHEMA)
@@ -234,6 +241,8 @@ def run_scd2_stream_once(
         from ..cdc.scd import scd2_apply
 
         scd2_apply(history, batch_df, batch_id=f"scd2-{batch_id}", **scd_kwargs)
+        if compact_ratio is not None:
+            history.maybe_compact(max_delta_ratio=compact_ratio)
 
     q = (
         stream.writeStream.foreachBatch(_sink)

@@ -217,6 +217,20 @@ def run_mappings(
                 # P1 rename map (README.md:191-197): source columns take
                 # their target names BEFORE any filter/compare — key_cols,
                 # compare_cols and filters are written in target naming.
+                renamed = [m.col_mapping.get(c, c) for c in src.columns]
+                dupes = sorted(
+                    {n for n in renamed if renamed.count(n) > 1}
+                )
+                if dupes:
+                    # a mapped target name colliding with an unmapped source
+                    # column would silently duplicate the column and make
+                    # every later reference ambiguous — fail loud at config
+                    raise ValueError(
+                        f"col_mapping for {m.table_family!r} produces "
+                        f"duplicate column name(s) {dupes}: each mapped "
+                        "target name must not collide with another "
+                        "(mapped or unmapped) source column"
+                    )
                 src = src.select(
                     *[
                         F.col(c).alias(m.col_mapping.get(c, c))

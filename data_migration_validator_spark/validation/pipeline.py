@@ -200,11 +200,14 @@ def _assemble_reports(
         "pk_tgt": pk_tgt,
     }
     if addtnl_filters:
+        created_views: list[str] = []
         compiled = [
             (
                 f["filter_name"] if isinstance(f, dict) else f.filter_name,
                 filter_condition_from_annotated(
-                    ann, f["filter"] if isinstance(f, dict) else f.filter
+                    ann,
+                    f["filter"] if isinstance(f, dict) else f.filter,
+                    created_views,
                 ),
             )
             for f in addtnl_filters
@@ -225,6 +228,13 @@ def _assemble_reports(
                 )
         if captures:
             reports["addtnl_mismatch_rows"] = captures
+        # every frame referencing a {full_outer_table} subquery is now
+        # constructed (analysis is eager — the view is inlined into each
+        # resolved plan), so the catalog entries can go: repeated
+        # run_validation calls must not accumulate leaked temp views
+        for v in created_views:
+            ann.sparkSession.catalog.dropTempView(v)
+
     if quick:
         reports["quick"] = quick_validate(jsrc, jtgt, key_cols, compare_cols)
     else:

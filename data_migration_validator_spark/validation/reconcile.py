@@ -280,7 +280,9 @@ def column_metrics_from_annotated(
     return _unpivot_column_metrics(wide, compare_cols)
 
 
-def filter_condition_from_annotated(ann: DataFrame, expr_str: str | None):
+def filter_condition_from_annotated(
+    ann: DataFrame, expr_str: str | None, created_views: list[str] | None = None
+):
     """Compile one ``addtnl_filters`` entry's SQL condition against the
     annotated frame (README.md:206-236: predicates are written over the
     suffixed ``<col>_src`` / ``<col>_tgt`` columns of the full-outer table).
@@ -289,12 +291,22 @@ def filter_condition_from_annotated(ann: DataFrame, expr_str: str | None):
     unfiltered slice).  The reference's ``{full_outer_table}`` placeholder
     (a scalar subquery over the join table itself, MDV:1174-1180) is
     supported by registering the annotated frame as a temp view and letting
-    the SQL parser resolve the subquery against it."""
+    the SQL parser resolve the subquery against it.  The view name is a
+    content hash of the expression (deterministic across driver processes —
+    Python's builtin ``hash`` is salted per process); it is appended to
+    ``created_views`` so the caller can ``dropTempView`` once every frame
+    that references the condition has been CONSTRUCTED — DataFrame analysis
+    is eager, so the resolved plans no longer need the catalog entry."""
     if expr_str is None or expr_str.strip() in ("", "N/A"):
         return None
     if "{full_outer_table}" in expr_str:
-        view = f"__full_outer_{abs(hash(expr_str)) % 10**8}"
+        import hashlib
+
+        digest = hashlib.sha256(expr_str.encode()).hexdigest()[:12]
+        view = f"__full_outer_{digest}"
         ann.createOrReplaceTempView(view)
+        if created_views is not None:
+            created_views.append(view)
         expr_str = expr_str.replace("{full_outer_table}", view)
     return F.expr(expr_str)
 

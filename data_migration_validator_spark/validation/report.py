@@ -36,15 +36,40 @@ _CONJUNCTION_COLS = [
 ]
 
 
+# Summary tables persisted before these checks existed lack their columns;
+# NULL-is-FAILED over a column that was never written would retroactively
+# flip every historical run to FAILED.  Each legacy fallback says what the
+# old store DID gate on for the same failure mode (after-exclusion ==
+# data_mismatch when no exclusions are configured — exactly the pre-change
+# semantics); a check with no legacy analog (comment compare) simply never
+# ran and must not gate.
+_LEGACY_FALLBACK = {
+    "mismatches_after_exclusion_status": "data_mismatch_status",
+    "comment_compare_status": None,  # no pre-change analog: skip the gate
+}
+
+
 def summary_conjunction(summary: DataFrame) -> DataFrame:
     """Re-derive the final status from the persisted per-check columns with
     the reference's NULL-is-FAILED rule (validation_sqls.py:24-63) — the
     stored ``validation_status`` is written by the run; this is the read
-    side's independent conjunction over what actually landed."""
+    side's independent conjunction over what actually landed.  Columns a
+    pre-change store never wrote fold through their legacy fallback
+    (``_LEGACY_FALLBACK``) instead of NULL-failing history."""
+    have = set(summary.columns)
     ok = F.lit(True)
+    out_cols: list = []
     for c in _CONJUNCTION_COLS:
+        gate = c
+        if c not in have:
+            gate = _LEGACY_FALLBACK.get(c, c)
+            out_cols.append(F.lit(None).cast("string").alias(c))
+        else:
+            out_cols.append(F.col(c))
+        if gate is None or gate not in have:
+            continue  # check never ran in this store generation: no gate
         ok = ok & F.when(
-            F.col(c).isNull() | (F.col(c) == "FAILED"), F.lit(False)
+            F.col(gate).isNull() | (F.col(gate) == "FAILED"), F.lit(False)
         ).otherwise(F.lit(True))
     return summary.select(
         "run_id",
@@ -54,7 +79,7 @@ def summary_conjunction(summary: DataFrame) -> DataFrame:
         F.when(ok, F.lit("SUCCESS")).otherwise(F.lit("FAILED")).alias(
             "final_validation_status"
         ),
-        *_CONJUNCTION_COLS,
+        *out_cols,
         "matches",
         "mismatches",
         "src_extras",

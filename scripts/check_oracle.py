@@ -72,6 +72,11 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # fixture-backed oracles (simhash) derive their parquet from the same
+    # sf dir the views read; the driver's own gate runs at the default
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:

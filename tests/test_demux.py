@@ -4,6 +4,8 @@ equivalence."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_migration_validator_spark.cdc import (
@@ -223,3 +225,72 @@ def test_demux_parallel_matches_serial(spark, tmp_root):
     assert (
         dlq.read().filter(F.col("reason") == "unknown_table").count() == 30
     )
+
+
+def test_demux_quarantine_count_fused(spark, tmp_root, monkeypatch):
+    """The unknown-row count rides the cache-materialization action via
+    observe: ONE DataFrame.count() per demux_batch (the materialize), no
+    separate count job over the unknown filter."""
+    _, _, mixed = _mixed_stream(spark, n_a=400, n_b=300, batch=1_000, unknown=20)
+    batch0 = mixed.filter(F.col("batch_hint") == 0).drop("batch_hint")
+    tables = {
+        "tbl_a": _table(spark, tmp_root, "fa"),
+        "tbl_b": _table(spark, tmp_root, "fb"),
+    }
+    dlq = make_quarantine_table(spark, os.path.join(tmp_root, "fdlq"))
+
+    calls = []
+    # patch the CONCRETE DataFrame class (pyspark 4 routes pyspark.sql
+    # .DataFrame through a classic/connect subclass; the base-class method
+    # is overridden and a base patch never fires)
+    df_cls = type(batch0)
+    orig_count = df_cls.count
+
+    def counting(self):
+        calls.append(self)
+        return orig_count(self)
+
+    monkeypatch.setattr(df_cls, "count", counting)
+    stats = demux_batch(tables, batch0, batch_id=0, quarantine=dlq)
+    monkeypatch.undo()
+    assert stats["__unknown__"] == 20
+    assert len(calls) == 1, (
+        f"expected the single fused materialize+observe count, got "
+        f"{len(calls)} count() actions"
+    )
+    assert dlq.read().filter(F.col("reason") == "unknown_table").count() == 20
+
+
+def test_demux_parallel_reports_all_failures(spark, tmp_root, monkeypatch):
+    """A multi-table failure must surface EVERY failed table's error plus
+    the stats of tables that did commit — not just the first future's."""
+    from data_migration_validator_spark.cdc import demux as demux_mod
+
+    _, _, mixed = _mixed_stream(spark, n_a=400, n_b=300, batch=1_000)
+    batch0 = mixed.filter(F.col("batch_hint") == 0).drop("batch_hint")
+    tables = {
+        "tbl_a": _table(spark, tmp_root, "xa"),
+        "tbl_b": _table(spark, tmp_root, "xb"),
+        "tbl_c": _table(spark, tmp_root, "xc"),
+    }
+    # tbl_c receives no rows; make a and b fail, c succeed
+    mixed3 = batch0
+    real_apply = demux_mod.apply_batch
+
+    def flaky(table, events, **kw):
+        if table.root.endswith(("xa", "xb")):
+            raise RuntimeError(f"boom:{os.path.basename(table.root)}")
+        return real_apply(table, events, **kw)
+
+    monkeypatch.setattr(demux_mod, "apply_batch", flaky)
+    with pytest.raises(demux_mod.DemuxBatchError) as ei:
+        demux_batch(tables, mixed3, batch_id=0, max_workers=3)
+    err = ei.value
+    assert set(err.failures) == {"tbl_a", "tbl_b"}
+    assert "tbl_c" in err.partial and not err.partial["tbl_c"].get("skipped")
+    assert "2 table(s)" in str(err)
+    # the committed table no-ops on retry; the failed ones apply cleanly
+    monkeypatch.undo()
+    out = demux_batch(tables, mixed3, batch_id=0, max_workers=3)
+    assert out["tbl_c"]["skipped"] is True
+    assert not out["tbl_a"].get("skipped") and not out["tbl_b"].get("skipped")

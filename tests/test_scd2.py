@@ -177,3 +177,96 @@ def test_out_of_order_batch_raises_and_rolls_back(spark, tmp_path):
     )
     st3 = scd2_apply(t, b3, batch_id=3)
     assert st3["versions_opened"] == 1 and st3["versions_closed"] == 1
+
+
+def test_mor_incremental_equals_batch_oracle(spark, tmp_path, ev):
+    """merge_mode="mor": closes ∪ opens land as delta commits; the read
+    path resolves them to the exact same history as COW / the window
+    oracle — with live deltas AND after periodic compaction."""
+    t = _hist(spark, tmp_path, "m1")
+    st = scd2_replay(t, ev, merge_mode="mor")
+    assert st["batches"] == 4
+    assert t.manifest.get("deltas"), "expected live deltas (no compaction)"
+    assert _rows(t.read()) == _rows(scd2_expected(ev))
+
+    t2 = _hist(spark, tmp_path, "m2")
+    st2 = scd2_replay(t2, ev, merge_mode="mor", compact_every=2)
+    assert not t2.manifest.get("deltas"), "compaction must fold all deltas"
+    assert _rows(t2.read()) == _rows(scd2_expected(ev))
+    assert st2["versions_opened"] == st["versions_opened"]
+    assert st2["versions_closed"] == st["versions_closed"]
+
+
+def test_mor_redelivery_is_noop(spark, tmp_path, ev):
+    t = _hist(spark, tmp_path, "m3")
+    scd2_replay(t, ev, merge_mode="mor")
+    before = _rows(t.read())
+    st = scd2_apply(
+        t, ev.filter(F.col("batch_hint") == 2), batch_id=2, merge_mode="mor"
+    )
+    assert st["skipped"]
+    assert _rows(t.read()) == before
+
+
+def test_mor_out_of_order_batch_raises_and_rolls_back(spark, tmp_path):
+    """The inverted-interval guard holds under MOR too: rollback restores
+    the pre-batch manifest (incl. the delta list) and retracts the batch
+    marker."""
+    t = _hist(spark, tmp_path, "m_ooo")
+    schema = (
+        "event_seq long, op string, repo string, path string, "
+        "commit string, lang string, content string"
+    )
+    b1 = spark.createDataFrame(
+        [(100, "insert", "r", "p", "c1", "py", "v1")], schema
+    )
+    scd2_apply(t, b1, batch_id=1, merge_mode="mor")
+    pre_rows = _rows(t.read())
+    b2 = spark.createDataFrame(
+        [(50, "update", "r", "p", "c0", "py", "v0")], schema
+    )
+    with pytest.raises(ValueError, match="valid_to.* < .*valid_from|out of seq"):
+        scd2_apply(t, b2, batch_id=2, merge_mode="mor")
+    assert _rows(t.read()) == pre_rows
+    assert not t.has_batch(2)
+    st3 = scd2_apply(
+        t,
+        spark.createDataFrame(
+            [(200, "update", "r", "p", "c2", "py", "v2")], schema
+        ),
+        batch_id=3,
+        merge_mode="mor",
+    )
+    assert st3["versions_opened"] == 1 and st3["versions_closed"] == 1
+
+
+def test_mor_streaming_scd2_with_compaction(spark, tmp_path):
+    """Streaming SCD2 sink in MOR mode with the in-loop compaction policy:
+    same oracle equality + exactly-once resume."""
+    from data_migration_validator_spark.cdc.events import write_events_batched
+    from data_migration_validator_spark.streaming.stream import (
+        run_scd2_stream_once,
+    )
+
+    ev = change_events(
+        spark, n_events=2000, n_repos=15, paths_per_repo=8, seed=11,
+        batch_size=500,
+    )
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    write_events_batched(ev, events_dir)
+
+    t = _hist(spark, tmp_path, "m_stream")
+    run_scd2_stream_once(
+        t, events_dir, ckpt, max_files_per_trigger=4,
+        merge_mode="mor", compact_ratio=0.5,
+    )
+    assert _rows(t.read()) == _rows(scd2_expected(ev))
+
+    seq = t.manifest["seq"]
+    run_scd2_stream_once(
+        t, events_dir, ckpt, max_files_per_trigger=4,
+        merge_mode="mor", compact_ratio=0.5,
+    )
+    assert t.manifest["seq"] == seq
+    assert _rows(t.read()) == _rows(scd2_expected(ev))
