@@ -114,6 +114,7 @@ def dedup_bucket_aligned(
     bucket_col: F.Column,
     order_col: str = "event_seq",
     wsalt: int = 8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Last-writer-wins dedup whose ONE shuffle is also the sink layout.
 
@@ -144,13 +145,23 @@ def dedup_bucket_aligned(
     df = events.withColumn("__bucket", bucket_col).withColumn(
         "__wsalt", F.pmod(khash, F.lit(wsalt))
     )
-    # Column-only repartition (no fixed number): AQE right-sizes the
-    # exchange to the advisory partition size, so a small batch doesn't pay
-    # dozens of near-empty task launches and a big one still fans out.  A
-    # fixed ``repartition(N, cols)`` would pin REPARTITION_BY_NUM and
+    # Column-only repartition (no fixed number) by default: AQE right-sizes
+    # the exchange to the advisory partition size, so a small batch doesn't
+    # pay dozens of near-empty task launches and a big one still fans out.
+    # A fixed ``repartition(N, cols)`` would pin REPARTITION_BY_NUM and
     # disable that coalescing (measured: 64 micro-tasks cost ~3s/batch of
-    # pure scheduling at low core counts).
-    df = df.repartition(F.col("__bucket"), F.col("__wsalt"))
+    # pure scheduling at low core counts).  ``num_partitions`` overrides for
+    # callers whose downstream is a partitionBy file write (the demux gang):
+    # there AQE's byte-targeted coalescing folds many (bucket, salt) groups
+    # into few tasks, and each task then opens a writer per (table, bucket)
+    # it holds — the file-count explosion costs ~3x the wall the saved
+    # tasks were worth (measured: 0.9s vs 2.6s per 100k-event batch).
+    if num_partitions:
+        df = df.repartition(
+            num_partitions, F.col("__bucket"), F.col("__wsalt")
+        )
+    else:
+        df = df.repartition(F.col("__bucket"), F.col("__wsalt"))
     # The key hash leads the sort (computed post-shuffle as a sort-key
     # expression, NOT shuffled as a column): most adjacent comparisons are
     # between DIFFERENT keys, and an 8-byte long compare resolves them
@@ -242,6 +253,7 @@ def apply_batch(
     count_deletes: bool = False,
     merge_mode: str | None = None,
     quarantine: LakeTable | None = None,
+    pre_discovered: dict | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``.
 
@@ -269,6 +281,14 @@ def apply_batch(
     (batch_id, event_seq), so crash-retry redelivery is exactly-once.
     Without it, out-of-contract ops are dropped silently (the historical
     trusted-fixture behavior) and null-key DML flows through.
+
+    ``pre_discovered``: {"schema_rows": [...], "n_quarantined": int} from a
+    caller that already ran the batch's discovery (the demux layer folds
+    EVERY routed table's schema/bad-row counts into its single
+    materialization action) — the per-table schema/DLQ collect is then
+    skipped, leaving the MOR path exactly ONE Spark job per table per
+    batch.  ``schema_rows``: [{"event_seq": ..., "schema_change": json}]
+    for THIS table only.
     """
     t0 = time.monotonic()
     if batch_id is not None and table.has_batch(batch_id):
@@ -287,7 +307,7 @@ def apply_batch(
     if merge_mode == "mor":
         return _apply_batch_mor(
             table, events, batch_id, lineage, salt_buckets, count_deletes, t0,
-            quarantine=quarantine,
+            quarantine=quarantine, pre_discovered=pre_discovered,
         )
 
     # 1. DML: salted last-writer-wins dedup (schema-agnostic — it works on
@@ -347,19 +367,23 @@ def apply_batch(
                 F.lit(None).cast("string").alias("schema_change"),
             )
         )
-        schema_df = events.filter(F.col("schema_change").isNotNull()).select(
-            F.lit("schema").alias("kind"),
-            F.lit(None).cast("int").alias("__bucket"),
-            F.col("event_seq").alias("first_event_seq"),
-            F.lit(None).cast("long").alias("last_event_seq"),
-            F.lit(None).cast("long").alias("n_up"),
-            F.lit(None).cast("long").alias("n_del"),
-            F.lit(None).cast(k_type).alias("k_lo"),
-            F.lit(None).cast(k_type).alias("k_hi"),
-            "schema_change",
-        )
-        combined_df = bucket_stats_df.unionByName(schema_df)
-        if quarantine is not None:
+        combined_df = bucket_stats_df
+        if pre_discovered is None:
+            schema_df = events.filter(
+                F.col("schema_change").isNotNull()
+            ).select(
+                F.lit("schema").alias("kind"),
+                F.lit(None).cast("int").alias("__bucket"),
+                F.col("event_seq").alias("first_event_seq"),
+                F.lit(None).cast("long").alias("last_event_seq"),
+                F.lit(None).cast("long").alias("n_up"),
+                F.lit(None).cast("long").alias("n_del"),
+                F.lit(None).cast(k_type).alias("k_lo"),
+                F.lit(None).cast(k_type).alias("k_hi"),
+                "schema_change",
+            )
+            combined_df = combined_df.unionByName(schema_df)
+        if quarantine is not None and pre_discovered is None:
             # Bad-row count rides the SAME fused action — the quarantine
             # upsert job below only launches when it lands non-zero.
             dlq_count_df = (
@@ -380,13 +404,25 @@ def apply_batch(
             combined_df = combined_df.unionByName(dlq_count_df)
         combined = combined_df.collect()
         bucket_stats = [r for r in combined if r["kind"] == "stats"]
-        sc_rows = sorted(
-            (r for r in combined if r["kind"] == "schema"),
-            key=lambda r: r["first_event_seq"],
-        )
-        n_quarantined = sum(
-            int(r["n_up"]) for r in combined if r["kind"] == "dlq"
-        )
+        if pre_discovered is not None:
+            sc_rows = sorted(
+                pre_discovered.get("schema_rows", []),
+                key=lambda r: r["event_seq"],
+            )
+            # schema rows arrive in the demux shape {event_seq,
+            # schema_change}; normalize for the shared json-load below
+            sc_rows = [
+                {"schema_change": r["schema_change"]} for r in sc_rows
+            ]
+            n_quarantined = int(pre_discovered.get("n_quarantined", 0))
+        else:
+            sc_rows = sorted(
+                (r for r in combined if r["kind"] == "schema"),
+                key=lambda r: r["first_event_seq"],
+            )
+            n_quarantined = sum(
+                int(r["n_up"]) for r in combined if r["kind"] == "dlq"
+            )
         if quarantine is not None and n_quarantined:
             from .quarantine import quarantine_rows
 
@@ -474,6 +510,7 @@ def _apply_batch_mor(
     count_deletes: bool,
     t0: float,
     quarantine: LakeTable | None = None,
+    pre_discovered: dict | None = None,
 ) -> dict:
     """MOR fast path: schema events via one footer-pruned collect (the
     ``schema_change`` column is almost-all-null, so parquet row-group null
@@ -484,31 +521,44 @@ def _apply_batch_mor(
     ONE job per batch, though the count leg reads the classification
     columns (op/keys/payload) rather than just the pruned schema_change
     footer stats; the quarantine upsert launches only when it lands
-    non-zero."""
-    sc_frame = events.filter(F.col("schema_change").isNotNull()).select(
-        F.lit("schema").alias("kind"), "event_seq", "schema_change"
-    )
-    if quarantine is not None:
-        dlq_frame = (
-            events.filter(F.col("dlq_reason").isNotNull())
-            .agg(F.count("*").alias("event_seq"))
-            .select(
-                F.lit("dlq").alias("kind"),
-                F.col("event_seq").cast("long"),
-                F.lit(None).cast("string").alias("schema_change"),
-            )
+    non-zero.
+
+    ``pre_discovered`` (see :func:`apply_batch`) skips the collect
+    entirely: the demux layer already counted this table's schema/bad rows
+    inside its shared materialization action, so the only Spark job left
+    here is the delta write itself — the fixed per-table cost a
+    many-small-tables fan-out amortizes."""
+    if pre_discovered is not None:
+        sc_rows = sorted(
+            pre_discovered.get("schema_rows", []),
+            key=lambda r: r["event_seq"],
         )
-        sc_frame = sc_frame.unionByName(dlq_frame)
-    combined = sc_frame.collect()
-    sc_rows = sorted(
-        (r for r in combined if r["kind"] == "schema"),
-        key=lambda r: r["event_seq"],
-    )
+        n_quarantined = int(pre_discovered.get("n_quarantined", 0))
+    else:
+        sc_frame = events.filter(F.col("schema_change").isNotNull()).select(
+            F.lit("schema").alias("kind"), "event_seq", "schema_change"
+        )
+        if quarantine is not None:
+            dlq_frame = (
+                events.filter(F.col("dlq_reason").isNotNull())
+                .agg(F.count("*").alias("event_seq"))
+                .select(
+                    F.lit("dlq").alias("kind"),
+                    F.col("event_seq").cast("long"),
+                    F.lit(None).cast("string").alias("schema_change"),
+                )
+            )
+            sc_frame = sc_frame.unionByName(dlq_frame)
+        combined = sc_frame.collect()
+        sc_rows = sorted(
+            (r for r in combined if r["kind"] == "schema"),
+            key=lambda r: r["event_seq"],
+        )
+        n_quarantined = sum(
+            int(r["event_seq"]) for r in combined if r["kind"] == "dlq"
+        )
     schema_applied = _apply_schema_changes(
         table, [json.loads(r["schema_change"]) for r in sc_rows]
-    )
-    n_quarantined = sum(
-        int(r["event_seq"]) for r in combined if r["kind"] == "dlq"
     )
     if quarantine is not None and n_quarantined:
         from .quarantine import quarantine_rows

@@ -37,8 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
-from .apply import apply_batch
-from .quarantine import quarantine_rows
+from .apply import _event_names, apply_batch
+from .quarantine import classify_reason, quarantine_rows
 
 REASON_UNKNOWN_TABLE = "unknown_table"
 
@@ -63,6 +63,222 @@ class DemuxBatchError(RuntimeError):
         )
         self.failures = failures
         self.partial = partial
+
+
+def _gang_signature(table: LakeTable):
+    """The compatibility signature under which tables can share ONE write:
+    same event-mapped key/bucket columns, same bucket count, and an
+    identical current schema (by field id, name and type) so a single
+    projection serves every table."""
+    from .apply import _event_names as _en
+
+    return (
+        tuple(_en(table, table.key_cols)),
+        _en(table, [table.bucket_source])[0],
+        int(table.num_buckets),
+        tuple((f.id, f.name, str(f.type)) for f in table.schema.fields),
+    )
+
+
+def _gang_write(
+    pending: dict[str, LakeTable],
+    events: DataFrame,
+    table_col: str,
+    lineage: dict[str, LakeTable] | None,
+    quarantine: LakeTable | None,
+    salt_buckets: int,
+):
+    """ONE Spark job stages EVERY pending table's MOR deltas.
+
+    At T small tables the per-table fan-out runs T concurrent write jobs
+    over tiny slices; measured on this box, 8 concurrent 12.5k-row jobs
+    take ~3.4s EACH (scheduler/codegen contention) while one 100k-row job
+    takes ~1s — the fixed cost that kept small mixed batches at a third of
+    single-table throughput.  Here the whole mixed batch dedups and lands
+    in a single dedup-exchange + ``partitionBy(table, bucket)`` write into
+    a staging dir; each table then adopts its staged files via
+    :meth:`LakeTable.commit_staged_deltas` (a rename + manifest commit,
+    no Spark work), keeping per-table exactly-once commit logs intact.
+
+    This write is also the batch's MATERIALIZING action: the caller's
+    shared discovery metrics (observe on ``events``) land here, so the
+    optimistic gang pays zero extra jobs — if the metrics then reveal
+    schema events (which diverge schemas mid-batch), the caller discards
+    the stage and takes the per-table path instead.
+
+    Caller guarantees (checked via :func:`_gang_signature`): every pending
+    table resolves to merge_mode="mor" and shares key/bucket event
+    mapping, bucket count and current schema.  Crash mid-adoption
+    redelivers: committed tables no-op via their logs, the rest re-run.
+
+    Returns (stage_dir, gang_observed, files_by_table, ev_keys,
+    num_buckets).  The caller owns stage-dir cleanup.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    from .apply import (
+        _event_names,
+        _project_to_table,
+        dedup_bucket_aligned,
+    )
+
+    names = list(pending)
+    t0_ref = pending[names[0]]
+    ev_keys = _event_names(t0_ref, t0_ref.key_cols)
+    ev_bucket_src = _event_names(t0_ref, [t0_ref.bucket_source])[0]
+    num_buckets = t0_ref.num_buckets
+
+    dml = events.filter(
+        F.col("op").isin("insert", "update", "delete")
+        & F.col(table_col).isin(*names)
+    )
+    if quarantine is not None:
+        dml = dml.filter(classify_reason(key_cols=ev_keys).isNull())
+    sel = dml.select(
+        table_col, "event_seq", "op", "repo", "path", "commit", "lang",
+        "content",
+    )
+    bucket_col = F.pmod(
+        F.xxhash64(F.col(ev_bucket_src)), F.lit(num_buckets)
+    ).cast("int")
+    # the routing column JOINS the dedup key: one exchange dedups every
+    # table's slice at once, per (table, key), salted within bucket.
+    # Salt policy is scale-aware: the exchange's parallelism ceiling is
+    # num_buckets x wsalt (hash partitioning yields at most that many
+    # distinct partitions), so wsalt = ceil(cluster slots / buckets)
+    # saturates any cluster, while on a small box it stays low — every
+    # extra salt multiplies the (table, bucket) writer fan-out and the
+    # resulting tiny-file count (measured 3x wall at wsalt=8 vs 2 here).
+    par = events.sparkSession.sparkContext.defaultParallelism
+    wsalt = (
+        salt_buckets if salt_buckets > 1
+        else max(1, -(-par // num_buckets))
+    )
+    deduped = dedup_bucket_aligned(
+        sel,
+        key_cols=[table_col, *ev_keys],
+        bucket_col=bucket_col,
+        wsalt=wsalt,
+        num_partitions=num_buckets * wsalt,
+    )
+    proj = _project_to_table(
+        t0_ref, deduped, op_col="op", keep=("event_seq", "__bucket", table_col)
+    )
+    is_del = F.col("op") == "delete"
+    aggs = []
+    for i, n in enumerate(names):
+        inb = F.col(table_col) == n
+        aggs.append(F.sum((inb & ~is_del).cast("long")).alias(f"u_{i}"))
+        aggs.append(F.sum((inb & is_del).cast("long")).alias(f"d_{i}"))
+        if (lineage or {}).get(n) is not None:
+            # per-bucket lineage aggs only for tables that asked for them
+            for b in range(num_buckets):
+                inbb = inb & (F.col("__bucket") == b)
+                aggs.append(F.sum(F.when(inbb & ~is_del, 1).otherwise(0)).alias(f"bu_{i}_{b}"))
+                aggs.append(F.sum(F.when(inbb & is_del, 1).otherwise(0)).alias(f"bd_{i}_{b}"))
+                aggs.append(F.min(F.when(inbb, F.col("event_seq"))).alias(f"blo_{i}_{b}"))
+                aggs.append(F.max(F.when(inbb, F.col("event_seq"))).alias(f"bhi_{i}_{b}"))
+    gobs = Observation()
+    cur_fields = [f.name for f in t0_ref.schema.fields]
+    shaped = proj.observe(gobs, *aggs).select(
+        *cur_fields,
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("__op"),
+        F.col(table_col),
+        F.col("__bucket"),
+    )
+    stage = os.path.join(
+        os.path.dirname(t0_ref.root.rstrip(os.sep)),
+        f"_demux_stage_{_uuid.uuid4().hex[:8]}",
+    )
+    (
+        shaped.write.option("maxRecordsPerFile", 5_000_000)
+        .partitionBy(table_col, "__bucket")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    try:
+        gang_observed = dict(gobs.get)
+    except Exception:  # zero-task write (fully empty batch)
+        gang_observed = {}
+    files_by_table: dict[str, list] = {}
+    for n in names:
+        tdir = os.path.join(stage, f"{table_col}={n}")
+        files = []
+        if os.path.isdir(tdir):
+            for bdir in os.listdir(tdir):
+                if not bdir.startswith("__bucket="):
+                    continue
+                b = int(bdir.split("=")[1])
+                for fn in os.listdir(os.path.join(tdir, bdir)):
+                    if fn.endswith(".parquet"):
+                        files.append((os.path.join(tdir, bdir, fn), b))
+        files_by_table[n] = files
+    return stage, gang_observed, files_by_table, ev_keys, num_buckets
+
+
+def _gang_commit(
+    pending: dict[str, LakeTable],
+    events: DataFrame,
+    batch_id,
+    table_col: str,
+    lineage: dict[str, LakeTable] | None,
+    quarantine: LakeTable | None,
+    gang_observed: dict,
+    files_by_table: dict[str, list],
+    ev_keys,
+    num_buckets: int,
+    dlq_counts: dict[str, int],
+) -> dict:
+    """Adopt the staged gang write per table: quarantine upserts first
+    (so a crash after the last table commit cannot strand dead letters —
+    a fully-committed redelivery skips quarantine work), then a rename +
+    manifest commit + optional lineage per table."""
+    from .apply import _emit_lineage
+    from .quarantine import classify_events
+
+    out: dict = {}
+    if quarantine is not None:
+        for n in pending:
+            if dlq_counts.get(n, 0):
+                sl = events.filter(F.col(table_col) == n).drop(table_col)
+                quarantine.merge(
+                    quarantine_rows(
+                        classify_events(sl, key_cols=ev_keys), batch_id
+                    ),
+                    count_deletes=False,
+                )
+    for i, n in enumerate(pending):
+        n_up = int(gang_observed.get(f"u_{i}") or 0)
+        n_del = int(gang_observed.get(f"d_{i}") or 0)
+        st = pending[n].commit_staged_deltas(
+            files_by_table.get(n, []),
+            batch_id=batch_id,
+            stats={
+                "rows_upserted": n_up,
+                "rows_delete_requested": n_del,
+                "schema_changes_applied": [],
+            },
+        )
+        lt = (lineage or {}).get(n)
+        if lt is not None and not st.get("skipped"):
+            rows = [
+                {
+                    "__bucket": b,
+                    "n_up": int(gang_observed.get(f"bu_{i}_{b}") or 0),
+                    "n_del": int(gang_observed.get(f"bd_{i}_{b}") or 0),
+                    "first_event_seq": gang_observed.get(f"blo_{i}_{b}"),
+                    "last_event_seq": gang_observed.get(f"bhi_{i}_{b}"),
+                }
+                for b in range(num_buckets)
+                if (gang_observed.get(f"bu_{i}_{b}") or 0)
+                or (gang_observed.get(f"bd_{i}_{b}") or 0)
+            ]
+            if rows:
+                _emit_lineage(lt, batch_id, rows, 0)
+        out[n] = st
+    return out
 
 
 def demux_batch(
@@ -107,29 +323,118 @@ def demux_batch(
     unknown_cond = F.col(table_col).isNull() | ~F.col(table_col).isin(
         *tables.keys()
     )
-    obs = None
+    # ONE shared discovery per mixed batch: the unknown-row count, every
+    # pending table's schema-event count AND its bad-row (quarantine)
+    # count all ride the cache-materialization action via observe.  Each
+    # per-table apply then receives its counts pre-discovered and runs as
+    # exactly ONE Spark job (the MOR delta write) — at T small tables the
+    # per-table discovery collects were the fixed cost that kept the
+    # fan-out from amortizing.
+    names_pending = [n for n in tables if n in pending]
+    has_schema_col = "schema_change" in events.columns
+    metrics = []
     if quarantine is not None and pending:
-        # the unknown-row COUNT rides the cache-materialization action via
-        # observe — no separate count job per micro-batch (the single-table
-        # path fuses its bad-row count the same way)
+        metrics.append(F.sum(unknown_cond.cast("long")).alias("n_unknown"))
+    for i, n in enumerate(names_pending):
+        inb = F.col(table_col) == n
+        if has_schema_col:
+            metrics.append(
+                F.sum(
+                    (inb & F.col("schema_change").isNotNull()).cast("long")
+                ).alias(f"sc_{i}")
+            )
+        if quarantine is not None:
+            bad = classify_reason(
+                key_cols=_event_names(tables[n], tables[n].key_cols),
+                has_schema_col=has_schema_col,
+            ).isNotNull()
+            metrics.append(F.sum((inb & bad).cast("long")).alias(f"dlq_{i}"))
+    obs = None
+    if metrics:
         from pyspark.sql import Observation
 
         obs = Observation()
-        events = events.observe(
-            obs, F.sum(unknown_cond.cast("long")).alias("n_unknown")
-        )
+        events = events.observe(obs, *metrics)
     events = events.persist()
     try:
+        # ---- optimistic gang fast path ------------------------------- #
+        # Metadata-only eligibility first; the data-dependent condition
+        # (no schema events) is checked AFTER the gang write, whose action
+        # doubles as the batch's materialize+observe — zero extra jobs in
+        # the common case, discard-and-fallback in the rare one.
+        def _mode(t: LakeTable) -> str:
+            return merge_mode or t.manifest["properties"].get(
+                "write.merge.mode", "cow"
+            )
+
+        todo = [(n, t) for n, t in tables.items() if n in pending]
+        for name in tables:
+            if name not in pending:
+                out[name] = {"skipped": True, "batch_id": batch_id}
+        gang_possible = (
+            max_workers > 1
+            and len(todo) > 1
+            and all(_mode(t) == "mor" for _, t in todo)
+            and len({_gang_signature(t) for _, t in todo}) == 1
+        )
+        observed: dict = {}
+        if gang_possible:
+            import shutil
+
+            stage, gang_observed, files_by_table, g_keys, g_buckets = (
+                _gang_write(
+                    dict(todo), events, table_col, lineage, quarantine,
+                    salt_buckets,
+                )
+            )
+            try:
+                if obs is not None:
+                    observed = dict(obs.get)
+                schema_present = has_schema_col and any(
+                    int(observed.get(f"sc_{i}") or 0)
+                    for i in range(len(names_pending))
+                )
+                if not schema_present:
+                    if quarantine is not None:
+                        n_unknown = int(observed.get("n_unknown") or 0)
+                        if n_unknown:
+                            unknown = events.filter(unknown_cond).withColumn(
+                                "dlq_reason", F.lit(REASON_UNKNOWN_TABLE)
+                            )
+                            quarantine.merge(
+                                quarantine_rows(unknown, batch_id),
+                                count_deletes=False,
+                            )
+                        out["__unknown__"] = n_unknown
+                    dlq_counts = {
+                        n: int(observed.get(f"dlq_{i}") or 0)
+                        for i, n in enumerate(names_pending)
+                    }
+                    out.update(
+                        _gang_commit(
+                            dict(todo), events, batch_id, table_col,
+                            lineage, quarantine, gang_observed,
+                            files_by_table, g_keys, g_buckets, dlq_counts,
+                        )
+                    )
+                    return out
+                # schema events present: discard the stage, take the
+                # per-table path below (cache + metrics already paid)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+
+        if obs is not None and not observed:
+            # ONE action: fills the shared cache (the fan-out's slices and
+            # the quarantine filter below are cached scans) AND lands every
+            # observed count
+            events.count()
+            observed = dict(obs.get)
         # quarantine work only when at least one table still needs the
         # batch: on a fully-committed redelivery the unknown-row upsert
         # already happened (it runs before any table commit), so re-running
         # it would pay a scan + MERGE commit for zero effect
-        if obs is not None:
-            # ONE action: fills the shared cache (the fan-out's slices and
-            # the quarantine filter below are cached scans) AND lands the
-            # observed unknown count
-            events.count()
-            n_unknown = int(obs.get.get("n_unknown") or 0)
+        if quarantine is not None and pending:
+            n_unknown = int(observed.get("n_unknown") or 0)
             if n_unknown:
                 unknown = events.filter(unknown_cond).withColumn(
                     "dlq_reason", F.lit(REASON_UNKNOWN_TABLE)
@@ -138,6 +443,37 @@ def demux_batch(
                     quarantine_rows(unknown, batch_id), count_deletes=False
                 )
             out["__unknown__"] = n_unknown
+
+        # schema rows: collected ONCE for all tables, only when some table
+        # actually has schema events this batch (rare)
+        sc_by_table: dict[str, list] = {n: [] for n in names_pending}
+        if has_schema_col and any(
+            int(observed.get(f"sc_{i}") or 0)
+            for i in range(len(names_pending))
+        ):
+            for r in (
+                events.filter(F.col("schema_change").isNotNull())
+                .select(table_col, "event_seq", "schema_change")
+                .collect()
+            ):
+                if r[table_col] in sc_by_table:
+                    sc_by_table[r[table_col]].append(
+                        {
+                            "event_seq": r["event_seq"],
+                            "schema_change": r["schema_change"],
+                        }
+                    )
+        pre_discovered = {
+            n: {
+                "schema_rows": sc_by_table[n],
+                "n_quarantined": (
+                    int(observed.get(f"dlq_{i}") or 0)
+                    if quarantine is not None
+                    else 0
+                ),
+            }
+            for i, n in enumerate(names_pending)
+        }
 
         def _one(name: str, t: LakeTable) -> dict:
             spark = t.spark
@@ -159,19 +495,17 @@ def demux_batch(
                     salt_buckets=salt_buckets,
                     merge_mode=merge_mode,
                     quarantine=quarantine,
+                    pre_discovered=pre_discovered[name],
                 )
             finally:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
-        todo = [(n, t) for n, t in tables.items() if n in pending]
-        for name in tables:
-            if name not in pending:
-                out[name] = {"skipped": True, "batch_id": batch_id}
         if max_workers > 1 and len(todo) > 1:
             # materialize the shared cache ONCE before the fan-out so the
             # threads' first actions don't race to compute it in duplicate
-            # (already done by the observed count when quarantining)
-            if obs is None:
+            # (already done by the observed count when quarantining, or by
+            # an aborted gang write)
+            if obs is None and not gang_possible:
                 events.count()
             from concurrent.futures import ThreadPoolExecutor
 

@@ -45,16 +45,19 @@ REASON_NO_PAYLOAD = "no_payload"
 VALID_OPS = ("insert", "update", "delete")
 
 
-def classify_events(
-    events: DataFrame,
+def classify_reason(
     key_cols: tuple[str, ...] | list[str] = ("repo", "path"),
     op_col: str = "op",
     valid_ops: tuple[str, ...] = VALID_OPS,
     payload_cols: tuple[str, ...] = ("commit",),
     schema_col: str | None = "schema_change",
-    reason_col: str = "dlq_reason",
-) -> DataFrame:
-    """Tag each event with a quarantine reason (null = clean).
+    has_schema_col: bool = True,
+) -> F.Column:
+    """The quarantine-reason CASE expression (null = clean) — the single
+    source of truth for what counts as a bad row: :func:`classify_events`
+    attaches it as a column, and the demux layer's shared per-table
+    discovery aggregates it directly (``classify_reason(...).isNotNull()``)
+    so the two can never drift.
 
     Rules, in precedence order (all plain column expressions — the whole
     classification stays in whole-stage codegen):
@@ -78,8 +81,26 @@ def classify_events(
         .when(no_payload, F.lit(REASON_NO_PAYLOAD))
         .otherwise(F.lit(None).cast("string"))
     )
-    if schema_col is not None and schema_col in events.columns:
+    if schema_col is not None and has_schema_col:
         reason = F.when(F.col(schema_col).isNotNull(), F.lit(None).cast("string")).otherwise(reason)
+    return reason
+
+
+def classify_events(
+    events: DataFrame,
+    key_cols: tuple[str, ...] | list[str] = ("repo", "path"),
+    op_col: str = "op",
+    valid_ops: tuple[str, ...] = VALID_OPS,
+    payload_cols: tuple[str, ...] = ("commit",),
+    schema_col: str | None = "schema_change",
+    reason_col: str = "dlq_reason",
+) -> DataFrame:
+    """Tag each event with a quarantine reason (null = clean); see
+    :func:`classify_reason` for the rules."""
+    reason = classify_reason(
+        key_cols, op_col, valid_ops, payload_cols, schema_col,
+        has_schema_col=schema_col is not None and schema_col in events.columns,
+    )
     return events.withColumn(reason_col, reason)
 
 

@@ -202,14 +202,22 @@ def scd2_apply(
         F.col("__bucket"),
     )
 
-    # 2. ONE fused discovery action over the cached exchange: touched
-    #    buckets + key count + open count in a single aggregate (this also
-    #    materializes the cache the close join and delta write reuse).
+    # 2. cheap discovery: a NARROW pre-scan (keys + op only — parquet
+    #    column pruning keeps the payload on disk) yields touched buckets,
+    #    an approximate key count (broadcast decision only) and the open
+    #    count.  The heavy payload exchange above runs exactly ONCE, inside
+    #    the MERGE action: materializing the close join's broadcast side
+    #    populates the ``chained`` cache, and the delta write then reads it
+    #    back for the opens — no separate full-DAG discovery job per batch.
     firsts = chained.filter(F.col("__is_first"))
     try:
-        agg = chained.agg(
-            F.collect_set("__bucket").alias("buckets"),
-            F.sum(F.col("__is_first").cast("bigint")).alias("n_keys"),
+        agg = dml.select(
+            table.bucket_expr(keys[0]).alias("__b"),
+            F.xxhash64(*[F.col(k) for k in keys]).alias("__kh"),
+            "op",
+        ).agg(
+            F.collect_set("__b").alias("buckets"),
+            F.approx_count_distinct("__kh").alias("n_keys"),
             F.sum((F.col("op") != delete_value).cast("bigint")).alias(
                 "n_opens"
             ),
@@ -266,15 +274,27 @@ def scd2_apply(
             # a hit the just-committed batch is rolled back (pure metadata)
             # and the corruption becomes a hard error instead of silent
             # history.
+            #
+            # Placement: the MOR path folds the metric into the delta
+            # writer's own Observation over the WHOLE change-set (opens are
+            # never inverted — their valid_to is lead(seq) > seq by the
+            # window order — so change-set inverted ≡ closes inverted); an
+            # observe pinned to the closes sub-frame is pruned with its
+            # subtree under some streaming plans.  COW keeps the closes
+            # observe (its rewrite plan always retains the join subtree).
             from pyspark.sql import Observation
 
-            obs = Observation()
-            closes = closes.observe(
-                obs,
-                F.sum(
-                    (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
-                ).alias("inverted"),
-            )
+            if (
+                merge_mode
+                or table.manifest["properties"].get("write.merge.mode", "cow")
+            ) != "mor":
+                obs = Observation()
+                closes = closes.observe(
+                    obs,
+                    F.sum(
+                        (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
+                    ).alias("inverted"),
+                )
 
         # 4. one exactly-once MERGE: closes are updates of existing version
         #    rows, opens are inserts; keys (natural key + valid_from) are
@@ -298,10 +318,25 @@ def scd2_apply(
                 ).repartition(F.col("__bucket"))
                 change_set = closes_aligned.unionByName(opens)
             change_set = change_set.withColumn("op", F.lit("upsert"))
+            guard = (
+                {
+                    "inverted": F.sum(
+                        (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
+                    )
+                }
+                if closes is not None
+                else None
+            )
             stats = table.merge(
                 change_set, op_col="op", batch_id=batch_id, mode="mor",
-                pre_partitioned=True,
+                pre_partitioned=True, extra_obs=guard,
             )
+            if guard is not None:
+                obs_inverted = int(
+                    stats.get("observed_extras", {}).get("inverted") or 0
+                )
+            else:
+                obs_inverted = 0
         else:
             change_set = opens.drop("__bucket")
             if closes is not None:
@@ -310,7 +345,10 @@ def scd2_apply(
             stats = table.merge(
                 change_set, op_col="op", batch_id=batch_id, mode=merge_mode
             )
-        inverted = int(obs.get.get("inverted") or 0) if obs is not None else 0
+            obs_inverted = (
+                int(obs.get.get("inverted") or 0) if obs is not None else 0
+            )
+        inverted = obs_inverted
         if inverted:
             table.rollback(pre_seq)
             raise ValueError(

@@ -771,7 +771,8 @@ class LakeTable:
         delete_value: str,
         order_col: str | None = None,
         pre_partitioned: bool = False,
-    ) -> tuple[list[dict], list[dict]]:
+        extra_obs: dict | None = None,
+    ) -> tuple[list[dict], list[dict], dict]:
         """Write a change-set as merge-on-read delta files (upsert rows +
         delete tombstones, ``__op`` ∈ {'u','d'}); return (file entries,
         per-bucket stats rows).
@@ -784,6 +785,12 @@ class LakeTable:
         not O(touched table), which at 10^10-event scale (and on this
         sandbox's memory-bandwidth-bound host) is the difference between a
         scalable ingest and one that rewrites the table every micro-batch.
+
+        ``extra_obs``: {name: aggregate Column} caller metrics folded into
+        the SAME Observation (e.g. the SCD2 inverted-interval guard) —
+        returned as the third tuple element.  Riding this Observation is
+        the robust position for caller invariants: a separate observe on a
+        sub-frame can be pruned with its subtree by the optimizer.
         """
         from pyspark.sql import Observation
 
@@ -811,6 +818,8 @@ class LakeTable:
             if order_col is not None:
                 aggs.append(F.min(F.when(inb, F.col(order_col))).alias(f"lo{b}"))
                 aggs.append(F.max(F.when(inb, F.col(order_col))).alias(f"hi{b}"))
+        for name, expr in (extra_obs or {}).items():
+            aggs.append(expr.alias(f"x_{name}"))
         obs = Observation(f"rows-{snap_dir}")
         cols = set(changes.columns)
         proj = [
@@ -847,6 +856,9 @@ class LakeTable:
                 row["first_event_seq"] = observed.get(f"lo{b}")
                 row["last_event_seq"] = observed.get(f"hi{b}")
             stats.append(row)
+        extras = {
+            name: observed.get(f"x_{name}") for name in (extra_obs or {})
+        }
         entries = []
         for p in glob.glob(os.path.join(out, "__bucket=*", "*.parquet")):
             bucket = int(p.split("__bucket=")[1].split(os.sep)[0])
@@ -859,7 +871,7 @@ class LakeTable:
                     "seq": seq,
                 }
             )
-        return entries, stats
+        return entries, stats, extras
 
     def _updated_bucket_rows(
         self, touched: set[int], new_rows: dict[int, int], add: bool = False
@@ -1129,6 +1141,7 @@ class LakeTable:
         mode: str | None = None,
         order_col: str | None = None,
         pre_partitioned: bool = False,
+        extra_obs: dict | None = None,
     ) -> dict:
         """MERGE of a pre-deduped change-set: copy-on-write (default) or
         merge-on-read.
@@ -1182,7 +1195,7 @@ class LakeTable:
             return self._merge_locked(
                 changes, op_col, delete_value, batch_id, broadcast_changes,
                 count_deletes, broadcast_max_rows, bucket_stats, mode,
-                order_col, pre_partitioned,
+                order_col, pre_partitioned, extra_obs,
             )
 
     def _merge_locked(
@@ -1198,6 +1211,7 @@ class LakeTable:
         mode: str | None,
         order_col: str | None,
         pre_partitioned: bool,
+        extra_obs: dict | None = None,
     ) -> dict:
         if batch_id is not None and self.has_batch(batch_id):
             return {"skipped": True, "batch_id": batch_id}
@@ -1207,7 +1221,7 @@ class LakeTable:
         if mode == "mor":
             return self._merge_mor(
                 changes, op_col, delete_value, batch_id, count_deletes,
-                order_col, pre_partitioned,
+                order_col, pre_partitioned, extra_obs,
             )
 
         keys = self.key_cols
@@ -1356,6 +1370,7 @@ class LakeTable:
         count_deletes: bool,
         order_col: str | None,
         pre_partitioned: bool = False,
+        extra_obs: dict | None = None,
     ) -> dict:
         """Merge-on-read MERGE: ONE write action lands the change-set as
         delta files (stats observed on the write itself), the manifest gains
@@ -1363,8 +1378,9 @@ class LakeTable:
         delete accounting (``count_deletes=True``) re-runs the change DAG
         for a semi-join vs the pre-merge state — keep it off the hot path.
         """
-        entries, bstats = self._write_delta_files(
-            changes, op_col, delete_value, order_col, pre_partitioned
+        entries, bstats, observed_extras = self._write_delta_files(
+            changes, op_col, delete_value, order_col, pre_partitioned,
+            extra_obs,
         )
         touched = sorted(r["__bucket"] for r in bstats)
         rows_upserted = int(sum(r["n_up"] for r in bstats))
@@ -1396,12 +1412,79 @@ class LakeTable:
             "touched_buckets": touched,
             "seq": m["seq"],
             "bucket_stats": bstats,
+            "observed_extras": observed_extras,
         }
         if count_deletes:
             stats["rows_deleted"] = rows_deleted
         if batch_id is not None:
             self._record_batch(batch_id, m["seq"], stats)
         return stats
+
+    def commit_staged_deltas(
+        self,
+        files: list[tuple[str, int]],
+        batch_id=None,
+        stats: dict | None = None,
+    ) -> dict:
+        """Adopt externally-staged delta files as one MOR delta commit.
+
+        The multi-table demux writes EVERY routed table's deltas in a
+        single Spark job (``partitionBy(table, bucket)`` into a staging
+        dir); each table then adopts its staged files here — a same-fs
+        rename per file plus one manifest commit, no Spark work.  Contract
+        (same as ``merge(mode="mor")``): files carry this table's CURRENT
+        schema columns plus ``__op`` ('u'/'d'), and the change-set was
+        pre-deduped per key within the batch.
+
+        ``files``: [(staged_path, bucket)].  Exactly-once on ``batch_id``
+        via the commit log; an empty list still records the batch (a table
+        with no rows in this mixed batch must not re-apply on redelivery).
+        """
+        import shutil
+
+        with self._write_lock:
+            if batch_id is not None and self.has_batch(batch_id):
+                return {"skipped": True, "batch_id": batch_id}
+            self._assert_writable()
+            seq = self.manifest["seq"] + 1
+            snap_dir = f"data/delta-{seq:08d}-{uuid.uuid4().hex[:8]}"
+            entries = []
+            for src, bucket in files:
+                dst_dir = os.path.join(
+                    self.root, snap_dir, f"__bucket={int(bucket)}"
+                )
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, os.path.basename(src))
+                try:
+                    os.rename(src, dst)
+                except OSError:  # cross-device staging dir: copy fallback
+                    shutil.move(src, dst)
+                entries.append(
+                    {
+                        "path": os.path.relpath(dst, self.root),
+                        "bucket": int(bucket),
+                        "bytes": os.path.getsize(dst),
+                        "schema_id": self.manifest["schema_id"],
+                        "seq": seq,
+                    }
+                )
+            m = self._next_manifest(
+                deltas=self.manifest.get("deltas", []) + entries,
+            )
+            if batch_id is not None:
+                m["properties"]["last_batch_id"] = str(batch_id)
+            self._write_manifest(m)
+            out = {
+                "skipped": False,
+                "mode": "mor",
+                "gang": True,
+                "seq": m["seq"],
+                "touched_buckets": sorted({int(b) for _, b in files}),
+                **(stats or {}),
+            }
+            if batch_id is not None:
+                self._record_batch(batch_id, m["seq"], out)
+            return out
 
     # ------------------------------------------------------------------ #
     # compaction (MOR maintenance: fold deltas back into the base)

@@ -294,3 +294,67 @@ def test_demux_parallel_reports_all_failures(spark, tmp_root, monkeypatch):
     out = demux_batch(tables, mixed3, batch_id=0, max_workers=3)
     assert out["tbl_c"]["skipped"] is True
     assert not out["tbl_a"].get("skipped") and not out["tbl_b"].get("skipped")
+
+
+def test_demux_gang_crash_resume_and_lineage(spark, tmp_root, monkeypatch):
+    """Gang fast path (one shared write, per-table adoption): a crash
+    between adoptions leaves table A committed and table B not — the
+    redelivered batch must no-op A and converge B; per-table lineage rows
+    land for committed tables."""
+    from data_migration_validator_spark.cdc.apply import make_lineage_table
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    a, b, mixed = _mixed_stream(spark, n_a=1_000, n_b=800)
+    batch0 = mixed.filter(F.col("batch_hint") == 0).drop("batch_hint")
+    tables = {
+        "tbl_a": _table(spark, tmp_root, "ga"),
+        "tbl_b": _table(spark, tmp_root, "gb"),
+    }
+    lin = {
+        "tbl_a": make_lineage_table(spark, os.path.join(tmp_root, "lina")),
+        "tbl_b": make_lineage_table(spark, os.path.join(tmp_root, "linb")),
+    }
+
+    real_commit = LakeTable.commit_staged_deltas
+    state = {"failed": False}
+
+    def flaky_commit(self, files, batch_id=None, stats=None):
+        if self.root.endswith("gb") and not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("simulated crash before tbl_b adoption")
+        return real_commit(self, files, batch_id=batch_id, stats=stats)
+
+    monkeypatch.setattr(LakeTable, "commit_staged_deltas", flaky_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        demux_batch(
+            tables, batch0, batch_id=0, lineage=lin, merge_mode="mor",
+            max_workers=2,
+        )
+    assert tables["tbl_a"].has_batch(0) and not tables["tbl_b"].has_batch(0)
+    monkeypatch.undo()
+
+    # redelivery: tbl_a no-ops, tbl_b applies (single-pending fallback path)
+    out = demux_batch(
+        tables, batch0, batch_id=0, lineage=lin, merge_mode="mor",
+        max_workers=2,
+    )
+    assert out["tbl_a"]["skipped"] is True
+    assert not out["tbl_b"].get("skipped")
+    # both tables converge to their stream oracles for batch 0
+    _assert_equal(
+        expected_final_state(a.filter(F.col("batch_hint") == 0)),
+        tables["tbl_a"],
+    )
+    _assert_equal(
+        expected_final_state(b.filter(F.col("batch_hint") == 0)),
+        tables["tbl_b"],
+    )
+    # lineage rows landed per table with sane offsets
+    for n in ("tbl_a", "tbl_b"):
+        rows = lin[n].read().collect()
+        assert rows and all(
+            r["first_event_seq"] is not None
+            and r["last_event_seq"] >= r["first_event_seq"]
+            and r["rows_upserted"] + r["rows_delete_requested"] > 0
+            for r in rows
+        )
