@@ -316,6 +316,7 @@ def bench_cdc_scd2(
         kw = {}
         if merge_mode is not None:
             kw = {"merge_mode": merge_mode, "compact_every": compact_every}
+        compacts = []
         for i in range(max(1, repeats)):
             _wait_for_quiet(max_load)
             table = make_scd2_table(
@@ -328,20 +329,31 @@ def bench_cdc_scd2(
             t0 = time.monotonic()
             scd2_replay(table, events, **kw)
             walls.append(time.monotonic() - t0)
+            if merge_mode == "mor" and compact_every is None:
+                # deferred base rewrite: same async-maintenance framing as
+                # bench_cdc_replay's mor leg — timed separately, verified
+                # on the compacted table
+                c0 = time.monotonic()
+                table.compact()
+                compacts.append(time.monotonic() - c0)
         scd2_s = min(walls)
         rec = hash_reconcile(
             table.read(), scd2_expected(ev),
             ["repo", "path", "valid_from_seq"],
             ["commit", "lang", "content", "valid_to_seq"],
         )
-        return {
+        out = {
             "events": n_events,
             "versions": table.row_count(),
+            "merge_mode": merge_mode or "cow",
             "scd2_sec": round(scd2_s, 3),
             "all_sec": [round(w, 3) for w in walls],
             "events_per_sec": round(n_events / scd2_s, 1),
             "verified": rec.filter(F.col("status") != "MATCH").count() == 0,
         }
+        if compacts:
+            out["compact_sec"] = round(min(compacts), 3)
+        return out
 
 
 def bench_ivm(
@@ -441,6 +453,71 @@ def bench_ivm(
         "scanned_bytes_ratio": (
             round(table_bytes / feed_bytes, 2) if feed_bytes else None
         ),
+        "verified": verified,
+    }
+
+
+def bench_ivm_crossover(
+    spark, n_rows: int = 24_000_000, repeats: int = 2, max_load: float = 8.0,
+    num_buckets: int = 64,
+) -> dict:
+    """IVM wall-clock CROSSOVER leg: at sf0.1 replay scale both refresh and
+    recompute are fixed-cost-bound and the asymptotic gap only shows in the
+    scanned-bytes ratio (bench_ivm).  This leg bulk-appends a base large
+    enough that the recompute's full scan dominates its wall, then lands
+    one small merge batch and brings the COUNT+SUM view up to date both
+    ways — refresh O(touched bucket + delta) must now beat recompute
+    O(table) on WALL, not just bytes.  Narrow facts keep the one-time
+    fixture cheap; per repeat a fresh delta lands so the refresh always
+    has real work.  ``verified``: refreshed view == recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validator_spark.lake.ivm import IncrementalAggView
+    from data_migration_validator_spark.lake.table import LakeTable
+
+    refresh_w, recompute_w, verified = [], [], True
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(
+            spark, f"{tmp}/facts",
+            [("id", "bigint"), ("grp", "string"), ("val", "bigint")],
+            key_cols=["id"], num_buckets=num_buckets,
+        )
+        base = spark.range(n_rows).select(
+            F.col("id"),
+            F.concat(F.lit("g"), F.pmod(F.col("id"), 1000)).alias("grp"),
+            (F.col("id") % 997).alias("val"),
+        )
+        t.append(base)
+        view = IncrementalAggView.create(
+            spark, f"{tmp}/v", t, ["grp"], ["val"], num_buckets=8
+        )
+        view.refresh()  # initial full fold (untimed)
+        for i in range(max(1, repeats)):
+            _wait_for_quiet(max_load)
+            delta = spark.range(i * 5_000, i * 5_000 + 5_000).select(
+                F.col("id"),
+                F.concat(F.lit("g"), F.pmod(F.col("id"), 1000)).alias("grp"),
+                (F.col("id") % 997 + 1 + i).alias("val"),
+                F.lit("upsert").alias("op"),
+            )
+            t.merge(delta, batch_id=("ivm-cross", i))
+            t0 = time.monotonic()
+            st = view.refresh()
+            refresh_w.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            view.recompute().write.mode("overwrite").parquet(f"{tmp}/rc_{i}")
+            recompute_w.append(time.monotonic() - t0)
+            want = {tuple(r) for r in spark.read.parquet(f"{tmp}/rc_{i}").collect()}
+            got = {tuple(r) for r in view.table.read().collect()}
+            verified = verified and got == want and not st.get("skipped")
+    f, r = min(refresh_w), min(recompute_w)
+    return {
+        "rows": n_rows,
+        "refresh_sec": round(f, 3),
+        "recompute_sec": round(r, 3),
+        "speedup": round(r / f, 2) if f > 0 else None,
+        "all_refresh_sec": [round(w, 3) for w in refresh_w],
+        "all_recompute_sec": [round(w, 3) for w in recompute_w],
         "verified": verified,
     }
 
@@ -661,11 +738,14 @@ def main():
     per_query["cdc_scd2"] = cdc_scd2["scd2_sec"]
     cdc_scd2_mor = bench_cdc_scd2(spark, n_events=n_ev, n_batches=4,
                                   repeats=repeats, max_load=max_load,
-                                  merge_mode="mor", compact_every=2)
+                                  merge_mode="mor")
     per_query["cdc_scd2_mor"] = cdc_scd2_mor["scd2_sec"]
     ivm = bench_ivm(spark, n_events=n_ev, repeats=repeats, max_load=max_load)
     per_query["ivm_refresh"] = ivm["refresh_sec"]
     per_query["ivm_recompute"] = ivm["recompute_sec"]
+    ivm_cross = bench_ivm_crossover(spark, repeats=repeats, max_load=max_load)
+    per_query["ivm_refresh_big"] = ivm_cross["refresh_sec"]
+    per_query["ivm_recompute_big"] = ivm_cross["recompute_sec"]
     sscan = bench_stats_scan(spark, sf_dir, repeats=repeats, max_load=max_load)
     per_query["stats_pruned_scan"] = sscan["pruned_sec"]
     per_query["stats_full_scan"] = sscan["full_sec"]
@@ -689,6 +769,7 @@ def main():
         "cdc_scd2": cdc_scd2,
         "cdc_scd2_mor": cdc_scd2_mor,
         "ivm": ivm,
+        "ivm_crossover": ivm_cross,
         "stats_scan": sscan,
     }
     # Full payload → side file (the per-round harness captures only the
@@ -715,10 +796,11 @@ def main():
             "scd2_mor": cdc_scd2_mor["events_per_sec"],
         },
         "ivm_bytes_ratio": ivm["scanned_bytes_ratio"],
+        "ivm_big_speedup": ivm_cross["speedup"],
         "verified": all(
             d.get("verified")
             for d in (cdc, cdc_mor, cdc_stream, cdc_demux, cdc_prune,
-                      cdc_scd2, cdc_scd2_mor, ivm, sscan)
+                      cdc_scd2, cdc_scd2_mor, ivm, ivm_cross, sscan)
         ),
     }
     line = json.dumps(compact)

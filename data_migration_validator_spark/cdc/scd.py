@@ -168,32 +168,36 @@ def scd2_apply(
     #    the WRITE-side payload repartition — the merge's O(batch) delta
     #    write consumes this exchange's layout directly — so the cache
     #    pays for a whole payload shuffle, not a keys-only one.)
-    wsalt = 8
+    # Scale-aware salt: the exchange's parallelism ceiling is
+    # num_buckets x wsalt (hash partitioning yields at most that many
+    # distinct partitions), so ceil(cluster slots / buckets) saturates any
+    # cluster, while on a small box a high salt only multiplies the delta
+    # writer's per-(bucket) file fan-out (the gang-write measurement:
+    # 3x wall at salt 8 vs 2 on this host).  The explicit partition count
+    # pins one (bucket, salt) combo per task — without it AQE's
+    # byte-targeted coalescing folds combos into few tasks and each task
+    # then writes a file per bucket it holds.
+    par = events.sparkSession.sparkContext.defaultParallelism
+    wsalt = max(1, -(-par // table.num_buckets))
     khash = F.xxhash64(*[F.col(k) for k in keys])
     df = dml.withColumn("__bucket", table.bucket_expr(keys[0])).withColumn(
         "__wsalt", F.pmod(khash, F.lit(wsalt))
     )
-    df = df.repartition(F.col("__bucket"), F.col("__wsalt"))
+    df = df.repartition(
+        table.num_buckets * wsalt, F.col("__bucket"), F.col("__wsalt")
+    )
     w = Window.partitionBy("__bucket", "__wsalt").orderBy(
         khash, *[F.col(k) for k in keys], F.col(order_col)
     )
     from functools import reduce
 
-    prev_same = reduce(
-        lambda a, b: a & b,
-        [F.lag(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in keys],
-    )
     next_same = reduce(
         lambda a, b: a & b,
         [F.lead(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in keys],
     )
-    chained = df.withColumns(
-        {
-            "__next_seq": F.when(next_same, F.lead(order_col).over(w)),
-            "__is_first": F.lag(F.col(order_col)).over(w).isNull()
-            | ~prev_same,
-        }
-    ).persist()
+    chained = df.withColumn(
+        "__next_seq", F.when(next_same, F.lead(order_col).over(w))
+    )
     opens = chained.filter(F.col("op") != delete_value).select(
         *keys,
         F.col(order_col).cast("bigint").alias(VALID_FROM),
@@ -205,160 +209,158 @@ def scd2_apply(
     # 2. cheap discovery: a NARROW pre-scan (keys + op only — parquet
     #    column pruning keeps the payload on disk) yields touched buckets,
     #    an approximate key count (broadcast decision only) and the open
-    #    count.  The heavy payload exchange above runs exactly ONCE, inside
-    #    the MERGE action: materializing the close join's broadcast side
-    #    populates the ``chained`` cache, and the delta write then reads it
-    #    back for the opens — no separate full-DAG discovery job per batch.
-    firsts = chained.filter(F.col("__is_first"))
-    try:
-        agg = dml.select(
-            table.bucket_expr(keys[0]).alias("__b"),
-            F.xxhash64(*[F.col(k) for k in keys]).alias("__kh"),
-            "op",
-        ).agg(
-            F.collect_set("__b").alias("buckets"),
-            F.approx_count_distinct("__kh").alias("n_keys"),
-            F.sum((F.col("op") != delete_value).cast("bigint")).alias(
-                "n_opens"
-            ),
-        ).first()
-        touched = sorted(int(b) for b in (agg["buckets"] or []))
-        n_keys = int(agg["n_keys"] or 0)
-        n_opens = int(agg["n_opens"] or 0)
-        if not touched:
-            # empty batch (e.g. pure schema events): just mark it applied
-            if batch_id is not None:
-                table._record_batch(
-                    batch_id,
-                    int(table.manifest["seq"]),
-                    {"versions_opened": 0},
-                )
-            return {"versions_opened": 0, "versions_closed": 0, "skipped": False}
+    #    count.  The close-set's per-key min seq comes from a keys-only
+    #    groupBy of the same narrow scan (map-side combined — a few MB) —
+    #    NOT from the payload exchange — so the heavy exchange above is
+    #    consumed exactly ONCE, by the delta write, with no cache
+    #    materialization at all: per batch the payload crosses the wire
+    #    once and is written once.
+    firsts_keyed = dml.groupBy(*keys).agg(
+        F.min(order_col).cast("bigint").alias("__close_seq")
+    )
+    agg = dml.select(
+        table.bucket_expr(keys[0]).alias("__b"),
+        F.xxhash64(*[F.col(k) for k in keys]).alias("__kh"),
+        "op",
+    ).agg(
+        F.collect_set("__b").alias("buckets"),
+        F.approx_count_distinct("__kh").alias("n_keys"),
+        F.sum((F.col("op") != delete_value).cast("bigint")).alias(
+            "n_opens"
+        ),
+    ).first()
+    touched = sorted(int(b) for b in (agg["buckets"] or []))
+    n_keys = int(agg["n_keys"] or 0)
+    n_opens = int(agg["n_opens"] or 0)
+    if not touched:
+        # empty batch (e.g. pure schema events): just mark it applied
+        if batch_id is not None:
+            table._record_batch(
+                batch_id,
+                int(table.manifest["seq"]),
+                {"versions_opened": 0},
+            )
+        return {"versions_opened": 0, "versions_closed": 0, "skipped": False}
 
-        # 3. close the table's current version for every touched key:
-        #    bucket-pruned scan of open rows only (base-side open filter
-        #    BEFORE MOR resolution — sound because closed versions are
-        #    immutable), broadcast the small min-seq frame (shuffle join
-        #    fallback for backfill-size batches).  A brand-new/empty table
-        #    region skips the join (and its guard observation — Catalyst
-        #    propagates the empty local relation and would prune the
-        #    CollectMetrics node with it): nothing exists to close.
-        bset = set(touched)
-        has_current = any(
-            f["bucket"] in bset
-            for f in table.manifest["files"] + table.manifest.get("deltas", [])
+    # 3. close the table's current version for every touched key:
+    #    bucket-pruned scan of open rows only (base-side open filter
+    #    BEFORE MOR resolution — sound because closed versions are
+    #    immutable), broadcast the small min-seq frame (shuffle join
+    #    fallback for backfill-size batches).  A brand-new/empty table
+    #    region skips the join (and its guard observation — Catalyst
+    #    propagates the empty local relation and would prune the
+    #    CollectMetrics node with it): nothing exists to close.
+    bset = set(touched)
+    has_current = any(
+        f["bucket"] in bset
+        for f in table.manifest["files"] + table.manifest.get("deltas", [])
+    )
+    obs = None
+    closes = None
+    if has_current:
+        current = _read_open_versions(table, touched)
+        rhs = (
+            F.broadcast(firsts_keyed)
+            if n_keys <= broadcast_max_keys else firsts_keyed
         )
-        obs = None
-        closes = None
-        if has_current:
-            current = _read_open_versions(table, touched)
-            firsts_keyed = firsts.select(
-                *keys, F.col(order_col).cast("bigint").alias("__close_seq")
-            )
-            rhs = (
-                F.broadcast(firsts_keyed)
-                if n_keys <= broadcast_max_keys else firsts_keyed
-            )
-            closes = current.alias("c").join(rhs.alias("f"), on=keys, how="inner")
-            closes = closes.select(
-                *keys,
-                F.col(f"c.{VALID_FROM}").alias(VALID_FROM),
-                *[F.col(f"c.{p}").alias(p) for p in payload_cols],
-                F.col("f.__close_seq").alias(VALID_TO),
-            )
-            # Out-of-order-delivery guard: a batch whose min seq for a key
-            # PRECEDES the open version's valid_from would silently write an
-            # inverted interval (valid_to < valid_from) — e.g. a file stream
-            # delivering same-mtime files out of listing order.  The check
-            # rides the MERGE's own action via observe (zero extra jobs); on
-            # a hit the just-committed batch is rolled back (pure metadata)
-            # and the corruption becomes a hard error instead of silent
-            # history.
-            #
-            # Placement: the MOR path folds the metric into the delta
-            # writer's own Observation over the WHOLE change-set (opens are
-            # never inverted — their valid_to is lead(seq) > seq by the
-            # window order — so change-set inverted ≡ closes inverted); an
-            # observe pinned to the closes sub-frame is pruned with its
-            # subtree under some streaming plans.  COW keeps the closes
-            # observe (its rewrite plan always retains the join subtree).
-            from pyspark.sql import Observation
-
-            if (
-                merge_mode
-                or table.manifest["properties"].get("write.merge.mode", "cow")
-            ) != "mor":
-                obs = Observation()
-                closes = closes.observe(
-                    obs,
-                    F.sum(
-                        (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
-                    ).alias("inverted"),
-                )
-
-        # 4. one exactly-once MERGE: closes are updates of existing version
-        #    rows, opens are inserts; keys (natural key + valid_from) are
-        #    distinct across the union by construction.
+        closes = current.alias("c").join(rhs.alias("f"), on=keys, how="inner")
+        closes = closes.select(
+            *keys,
+            F.col(f"c.{VALID_FROM}").alias(VALID_FROM),
+            *[F.col(f"c.{p}").alias(p) for p in payload_cols],
+            F.col("f.__close_seq").alias(VALID_TO),
+        )
+        # Out-of-order-delivery guard: a batch whose min seq for a key
+        # PRECEDES the open version's valid_from would silently write an
+        # inverted interval (valid_to < valid_from) — e.g. a file stream
+        # delivering same-mtime files out of listing order.  The check
+        # rides the MERGE's own action via observe (zero extra jobs); on
+        # a hit the just-committed batch is rolled back (pure metadata)
+        # and the corruption becomes a hard error instead of silent
+        # history.
         #
-        #    MOR hands the chaining exchange's layout straight to the delta
-        #    writer (pre_partitioned): opens kept their (__bucket, salt)
-        #    partitioning from the cache, and the small close-set (≤ one
-        #    row per live key) gets its own tiny bucket repartition — the
-        #    union concatenates partition lists without reshuffling either
-        #    side, so the batch's payload crossed the wire exactly once.
-        pre_seq = int(table.manifest["seq"])
-        resolved_mode = merge_mode or table.manifest["properties"].get(
-            "write.merge.mode", "cow"
-        )
-        if resolved_mode == "mor":
-            change_set = opens
-            if closes is not None:
-                closes_aligned = closes.withColumn(
-                    "__bucket", table.bucket_expr(keys[0])
-                ).repartition(F.col("__bucket"))
-                change_set = closes_aligned.unionByName(opens)
-            change_set = change_set.withColumn("op", F.lit("upsert"))
-            guard = (
-                {
-                    "inverted": F.sum(
-                        (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
-                    )
-                }
-                if closes is not None
-                else None
+        # Placement: the MOR path folds the metric into the delta
+        # writer's own Observation over the WHOLE change-set (opens are
+        # never inverted — their valid_to is lead(seq) > seq by the
+        # window order — so change-set inverted ≡ closes inverted); an
+        # observe pinned to the closes sub-frame is pruned with its
+        # subtree under some streaming plans.  COW keeps the closes
+        # observe (its rewrite plan always retains the join subtree).
+        from pyspark.sql import Observation
+
+        if (
+            merge_mode
+            or table.manifest["properties"].get("write.merge.mode", "cow")
+        ) != "mor":
+            obs = Observation()
+            closes = closes.observe(
+                obs,
+                F.sum(
+                    (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
+                ).alias("inverted"),
             )
-            stats = table.merge(
-                change_set, op_col="op", batch_id=batch_id, mode="mor",
-                pre_partitioned=True, extra_obs=guard,
-            )
-            if guard is not None:
-                obs_inverted = int(
-                    stats.get("observed_extras", {}).get("inverted") or 0
+
+    # 4. one exactly-once MERGE: closes are updates of existing version
+    #    rows, opens are inserts; keys (natural key + valid_from) are
+    #    distinct across the union by construction.
+    #
+    #    MOR hands the chaining exchange's layout straight to the delta
+    #    writer (pre_partitioned): opens kept their (__bucket, salt)
+    #    partitioning from the cache, and the small close-set (≤ one
+    #    row per live key) gets its own tiny bucket repartition — the
+    #    union concatenates partition lists without reshuffling either
+    #    side, so the batch's payload crossed the wire exactly once.
+    pre_seq = int(table.manifest["seq"])
+    resolved_mode = merge_mode or table.manifest["properties"].get(
+        "write.merge.mode", "cow"
+    )
+    if resolved_mode == "mor":
+        change_set = opens
+        if closes is not None:
+            closes_aligned = closes.withColumn(
+                "__bucket", table.bucket_expr(keys[0])
+            ).repartition(F.col("__bucket"))
+            change_set = closes_aligned.unionByName(opens)
+        change_set = change_set.withColumn("op", F.lit("upsert"))
+        guard = (
+            {
+                "inverted": F.sum(
+                    (F.col(VALID_TO) < F.col(VALID_FROM)).cast("long")
                 )
-            else:
-                obs_inverted = 0
+            }
+            if closes is not None
+            else None
+        )
+        stats = table.merge(
+            change_set, op_col="op", batch_id=batch_id, mode="mor",
+            pre_partitioned=True, extra_obs=guard,
+        )
+        if guard is not None:
+            obs_inverted = int(
+                stats.get("observed_extras", {}).get("inverted") or 0
+            )
         else:
-            change_set = opens.drop("__bucket")
-            if closes is not None:
-                change_set = closes.unionByName(change_set)
-            change_set = change_set.withColumn("op", F.lit("upsert"))
-            stats = table.merge(
-                change_set, op_col="op", batch_id=batch_id, mode=merge_mode
-            )
-            obs_inverted = (
-                int(obs.get.get("inverted") or 0) if obs is not None else 0
-            )
-        inverted = obs_inverted
-        if inverted:
-            table.rollback(pre_seq)
-            raise ValueError(
-                f"scd2_apply batch {batch_id!r}: {inverted} close row(s) "
-                f"would set {VALID_TO} < {VALID_FROM} (events delivered out "
-                "of seq order across batches); batch rolled back — replay "
-                "the stream in order or quarantine the offending source"
-            )
-    finally:
-        chained.unpersist()
+            obs_inverted = 0
+    else:
+        change_set = opens.drop("__bucket")
+        if closes is not None:
+            change_set = closes.unionByName(change_set)
+        change_set = change_set.withColumn("op", F.lit("upsert"))
+        stats = table.merge(
+            change_set, op_col="op", batch_id=batch_id, mode=merge_mode
+        )
+        obs_inverted = (
+            int(obs.get.get("inverted") or 0) if obs is not None else 0
+        )
+    inverted = obs_inverted
+    if inverted:
+        table.rollback(pre_seq)
+        raise ValueError(
+            f"scd2_apply batch {batch_id!r}: {inverted} close row(s) "
+            f"would set {VALID_TO} < {VALID_FROM} (events delivered out "
+            "of seq order across batches); batch rolled back — replay "
+            "the stream in order or quarantine the offending source"
+        )
     # the MERGE counts closes + opens together; opens were counted for free
     # in the fused discovery agg, so the split costs zero extra actions
     upserted = stats.get("rows_upserted", 0)
