@@ -458,47 +458,67 @@ def bench_ivm(
 
 
 def bench_ivm_crossover(
-    spark, n_rows: int = 24_000_000, repeats: int = 2, max_load: float = 8.0,
-    num_buckets: int = 64,
+    spark, n_rows: int | None = None, repeats: int = 2, max_load: float = 8.0,
+    num_buckets: int = 128,
 ) -> dict:
     """IVM wall-clock CROSSOVER leg: at sf0.1 replay scale both refresh and
     recompute are fixed-cost-bound and the asymptotic gap only shows in the
     scanned-bytes ratio (bench_ivm).  This leg bulk-appends a base large
-    enough that the recompute's full scan dominates its wall, then lands
-    one small merge batch and brings the COUNT+SUM view up to date both
-    ways — refresh O(touched bucket + delta) must now beat recompute
-    O(table) on WALL, not just bytes.  Narrow facts keep the one-time
-    fixture cheap; per repeat a fresh delta lands so the refresh always
-    has real work.  ``verified``: refreshed view == recompute exactly."""
+    enough that the recompute's full scan-and-aggregate dominates its wall
+    — a realistic dashboard view (composite group key, COUNT + four SUM
+    measures) over 192M facts — then lands one bucket-local merge batch
+    and brings the view up to date both ways: refresh O(touched bucket +
+    delta) must now beat recompute O(table) on WALL, not just bytes.  The
+    refresh side is the one-action MOR path (lake/ivm.py); ``verified``:
+    refreshed view == recompute exactly.  Override size with
+    $SPARK_GRAFT_IVM_CROSS_ROWS."""
     from pyspark.sql import functions as F
 
     from data_migration_validator_spark.lake.ivm import IncrementalAggView
     from data_migration_validator_spark.lake.table import LakeTable
 
+    n_rows = n_rows or int(
+        os.environ.get("SPARK_GRAFT_IVM_CROSS_ROWS", 192_000_000)
+    )
+    sums = ["v1", "v2", "v3", "v4"]
+
+    def shape(ids):
+        return ids.select(
+            F.col("id"),
+            F.concat(F.lit("g"), F.pmod(F.col("id"), 1000)).alias("grp"),
+            F.concat(F.lit("s"), F.pmod(F.col("id"), 37)).alias("sub"),
+            *[
+                (F.col("id") % m).alias(v)
+                for v, m in zip(sums, (997, 991, 983, 977))
+            ],
+        )
+
     refresh_w, recompute_w, verified = [], [], True
     with tempfile.TemporaryDirectory() as tmp:
         t = LakeTable.create(
             spark, f"{tmp}/facts",
-            [("id", "bigint"), ("grp", "string"), ("val", "bigint")],
+            [("id", "bigint"), ("grp", "string"), ("sub", "string")]
+            + [(v, "bigint") for v in sums],
             key_cols=["id"], num_buckets=num_buckets,
         )
-        base = spark.range(n_rows).select(
-            F.col("id"),
-            F.concat(F.lit("g"), F.pmod(F.col("id"), 1000)).alias("grp"),
-            (F.col("id") % 997).alias("val"),
-        )
-        t.append(base)
+        t.append(shape(spark.range(n_rows)))
         view = IncrementalAggView.create(
-            spark, f"{tmp}/v", t, ["grp"], ["val"], num_buckets=8
+            spark, f"{tmp}/v", t, ["grp", "sub"], sums, num_buckets=8
         )
-        view.refresh()  # initial full fold (untimed)
+        view.bootstrap()  # initial load via the defining query (untimed)
         for i in range(max(1, repeats)):
             _wait_for_quiet(max_load)
-            delta = spark.range(i * 5_000, i * 5_000 + 5_000).select(
-                F.col("id"),
-                F.concat(F.lit("g"), F.pmod(F.col("id"), 1000)).alias("grp"),
-                (F.col("id") % 997 + 1 + i).alias("val"),
-                F.lit("upsert").alias("op"),
+            # steady-state shape: the delta's keys all hash into ONE bucket
+            # (localized CDC batch), so the refresh's snapshot diff reads
+            # O(bucket + delta) while the recompute always reads O(table).
+            delta = shape(
+                spark.range(2_000_000)
+                .filter(
+                    F.pmod(F.xxhash64(F.col("id")), F.lit(num_buckets)) == 0
+                )
+                .limit(5_000)
+            ).withColumn("v1", F.col("v1") + 1 + i).withColumn(
+                "op", F.lit("upsert")
             )
             t.merge(delta, batch_id=("ivm-cross", i))
             t0 = time.monotonic()

@@ -241,69 +241,84 @@ class IncrementalAggView:
                     f"__d_sum_{s}"
                 )
             )
-        # persist: the delta (tiny — touched groups) anchors both the null
-        # check and the merge, so the feed's join runs exactly once.
-        delta = feed.groupBy(*self.group_cols).agg(*aggs).persist()
-        try:
-            null_groups = reduce(
-                lambda a, b: a | b,
-                [F.col(g).isNull() for g in self.group_cols],
+        delta = feed.groupBy(*self.group_cols).agg(*aggs)
+        # current view rows — group keys are the view's bucket keys, so
+        # the join below is bucket-aligned; the view is orders of
+        # magnitude smaller than the facts (it IS the aggregate).
+        cur = self.table.read().select(
+            *self.group_cols,
+            F.col("n_rows").alias("__cur_n"),
+            *[
+                F.col(f"sum_{s}").alias(f"__cur_sum_{s}")
+                for s in self.sum_cols
+            ],
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [delta[g].eqNullSafe(cur[g]) for g in self.group_cols],
+        )
+        j = delta.join(cur, cond, "left").select(
+            *[delta[g] for g in self.group_cols],
+            (F.coalesce(F.col("__cur_n"), F.lit(0)) + F.col("__d_n")).alias(
+                "n_rows"
+            ),
+            *[
+                (
+                    F.coalesce(F.col(f"__cur_sum_{s}"), F.lit(0))
+                    + F.coalesce(F.col(f"__d_sum_{s}"), F.lit(0))
+                ).alias(f"sum_{s}")
+                for s in self.sum_cols
+            ],
+        )
+        changes = j.withColumn(
+            "__ivm_op",
+            F.when(F.col("n_rows") <= 0, F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        )
+        # ONE Spark action per window: the view merge lands as a
+        # merge-on-read delta commit (the view is tiny; periodic
+        # maybe_compact below bounds its read-side fold), with the
+        # null-group guard riding the write's own Observation — a NULL
+        # group key cannot be MERGE-maintained (keys match null-unequal),
+        # so a positive count rolls the just-committed window back and
+        # raises instead of silently wedging the view.  The feed's diff
+        # join, the delta aggregate and the view join all execute inside
+        # this single write.
+        null_groups = reduce(
+            lambda a, b: a | b,
+            [F.col(g).isNull() for g in self.group_cols],
+        )
+        pre_seq = int(self.table.manifest["seq"])
+        stats = self.table.merge(
+            changes,
+            op_col="__ivm_op",
+            delete_value="delete",
+            batch_id=(
+                "ivm",
+                self.source.manifest["table_uuid"],
+                int(since),
+                int(until),
+            ),
+            count_deletes=False,
+            mode="mor",
+            extra_obs={"null_groups": F.sum(null_groups.cast("long"))},
+        )
+        n_null = int(
+            (stats.get("observed_extras") or {}).get("null_groups") or 0
+        )
+        if n_null:
+            self.table.rollback(pre_seq)
+            raise ValueError(
+                "NULL in group column(s) "
+                f"{self.group_cols}: the view MERGE matches keys "
+                "null-unequal, so NULL groups cannot be maintained — "
+                "coalesce NULLs to a sentinel upstream"
             )
-            if delta.where(null_groups).limit(1).count():
-                raise ValueError(
-                    "NULL in group column(s) "
-                    f"{self.group_cols}: the view MERGE matches keys "
-                    "null-unequal, so NULL groups cannot be maintained — "
-                    "coalesce NULLs to a sentinel upstream"
-                )
-
-            # current view rows — group keys are the view's bucket keys, so
-            # the join below is bucket-aligned; the view is orders of
-            # magnitude smaller than the facts (it IS the aggregate).
-            cur = self.table.read().select(
-                *self.group_cols,
-                F.col("n_rows").alias("__cur_n"),
-                *[
-                    F.col(f"sum_{s}").alias(f"__cur_sum_{s}")
-                    for s in self.sum_cols
-                ],
-            )
-            cond = reduce(
-                lambda a, b: a & b,
-                [delta[g].eqNullSafe(cur[g]) for g in self.group_cols],
-            )
-            j = delta.join(cur, cond, "left").select(
-                *[delta[g] for g in self.group_cols],
-                (F.coalesce(F.col("__cur_n"), F.lit(0)) + F.col("__d_n")).alias(
-                    "n_rows"
-                ),
-                *[
-                    (
-                        F.coalesce(F.col(f"__cur_sum_{s}"), F.lit(0))
-                        + F.coalesce(F.col(f"__d_sum_{s}"), F.lit(0))
-                    ).alias(f"sum_{s}")
-                    for s in self.sum_cols
-                ],
-            )
-            changes = j.withColumn(
-                "__ivm_op",
-                F.when(F.col("n_rows") <= 0, F.lit("delete")).otherwise(
-                    F.lit("upsert")
-                ),
-            )
-            stats = self.table.merge(
-                changes,
-                op_col="__ivm_op",
-                delete_value="delete",
-                batch_id=(
-                    "ivm",
-                    self.source.manifest["table_uuid"],
-                    int(since),
-                    int(until),
-                ),
-            )
-        finally:
-            delta.unpersist()
+        # lax ratio: the view is tiny, so its read-side delta fold is cheap
+        # — compacting near-every refresh would just restore the second
+        # Spark action this path exists to avoid
+        self.table.maybe_compact(max_delta_ratio=4.0)
         self._write_state(until)
         return {
             "since_seq": since,
@@ -311,6 +326,14 @@ class IncrementalAggView:
             "skipped": False,
             **{k: v for k, v in stats.items() if k != "skipped"},
         }
+
+    def bootstrap(self) -> dict:
+        """Initialize (or re-baseline) the view from the defining query —
+        the bulk-load path: ONE full aggregate + overwrite, state advances
+        to the source head.  Equivalent to ``refresh()`` from empty but
+        O(one aggregate) instead of a snapshot diff against the empty base
+        (the diff formulation joins the whole table against nothing)."""
+        return self._rebuild(int(self.source.manifest["seq"]))
 
     def _rebuild(self, until: int) -> dict:
         """Full rebuild from the defining query (used when the incremental
