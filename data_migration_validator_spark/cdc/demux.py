@@ -19,13 +19,20 @@ the routing layer:
   keys stay disjoint because each table writes to its own metrics table.
 
 At cluster scale each per-table apply is a full distributed job over that
-table's slice; ``max_workers > 1`` submits them concurrently from driver
-threads (per-table scheduler pools), so the cluster is never idle between
-small per-table jobs — per-table commit logs make the concurrent fan-out
-exactly-once, and the shared quarantine handle serializes its own writes.
-With hundreds of tables, cap ``max_workers`` near the cluster's concurrent
-job headroom or run multiple demux jobs over disjoint table sets — the
-commit-log idempotence makes any split safe.
+table's slice; ``max_workers > 1`` enables concurrency, and when every
+pending table is merge-on-read with one shared gang signature the GANG
+fast path takes over (:func:`_gang_write`): the whole mixed batch dedups
+in a single exchange keyed (table, key) and lands through ONE
+partitionBy(table, bucket) write, each table adopting its staged files as
+its own exactly-once delta commit — at T small tables this removes T
+concurrent tiny write jobs' scheduler/codegen contention (measured 2.7x
+throughput at 8 tables).  Heterogeneous tables (or batches carrying
+schema events) fall back to the concurrent per-table fan-out (driver
+threads + per-table scheduler pools).  Per-table commit logs make either
+shape exactly-once, and the shared quarantine handle serializes its own
+writes.  With hundreds of tables, cap ``max_workers`` near the cluster's
+concurrent job headroom or run multiple demux jobs over disjoint table
+sets — the commit-log idempotence makes any split safe.
 """
 
 from __future__ import annotations

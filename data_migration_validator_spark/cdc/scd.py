@@ -18,22 +18,30 @@ to; the pytest + driver oracles state it as one SQL window):
       * delete events yield no row (they only close the prior version);
       * a row is *current* iff ``valid_to_seq IS NULL``.
 
-Incremental plan per micro-batch (the 100-TB shape):
+Incremental plan per micro-batch (the 100-TB shape; one payload shuffle):
 
-    1. one window over the batch per key (ordered by ``order_col``):
-       ``lead(event_seq)`` chains the batch's own versions — O(batch);
-    2. the batch's first event per key must close the table's current
-       version: ONE aggregation of the batch gives (key → min seq) AND the
-       touched buckets AND the key count (single action, same fusion move
-       as ``apply_batch``);
+    1. version chaining rides ONE (bucket, key-salt) exchange whose layout
+       doubles as the delta-write layout (``dedup_bucket_aligned``'s fusion,
+       forward-chaining): ``lead(event_seq)`` within the key group chains
+       the batch's own versions — O(batch), and under ``merge_mode="mor"``
+       the writer consumes the exchange directly (pre-partitioned);
+    2. discovery is a NARROW pre-scan (keys + op only, parquet
+       column-pruned): touched buckets + approximate key count (broadcast
+       decision) + open count; the close-set's per-key min seq is a
+       keys-only map-side-combined groupBy of the same scan — a few MB,
+       never the payload;
     3. the close-set scan reads ONLY the touched buckets (file-pruned, the
-       same pruning MERGE itself uses) filtered to ``valid_to_seq IS NULL``,
-       joined to the (broadcast when small) min-seq frame;
+       same pruning MERGE itself uses) filtered to ``valid_to_seq IS NULL``
+       on the BASE side *before* MOR resolution — sound because a closed
+       version is immutable (see :func:`_read_open_versions`) — joined to
+       the (broadcast when small) min-seq frame;
     4. closes ∪ new versions land through ONE exactly-once
        :meth:`LakeTable.merge` keyed ``(key…, valid_from_seq)`` — distinct
        by construction (a close keeps its old valid_from; every open uses
        its own event seq), so the pre-deduped MERGE contract holds and a
-       redelivered batch is a no-op.
+       redelivered batch is a no-op.  MOR (the sustained-ingest default
+       for this append-mostly table) folds the out-of-order guard into the
+       delta writer's Observation; COW observes the closes sub-frame.
 
 Cross-batch correctness needs batches applied in ``order_col`` order (the
 replay loop's contract already).  Out-of-contract ops are ignored, matching
