@@ -20,6 +20,9 @@ import __spark_entry__ as E
 from scripts.check_oracle import TABLES, compare
 
 SF_DIR = "/root/testdata/sf0.001"
+# fixture-backed oracles (simhash) must derive their parquet from the SAME
+# sf dir as the DuckDB views below (driver default is sf0.01)
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="driver testdata not present"
