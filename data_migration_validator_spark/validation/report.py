@@ -166,7 +166,7 @@ def profile_drift(
     run_b: str,
     table_family: str | None = None,
     side: str = "tgt",
-    distinct_rtol: float = 0.03,
+    distinct_rtol: float = 0.05,
 ) -> DataFrame:
     """Cross-RUN drift from the persisted column_profiles table
     (store.make_profile_table): one row per (table_family, column, metric)
@@ -176,7 +176,7 @@ def profile_drift(
     one report column.
 
     ``distinct_rtol``: the persisted snapshots come from HLL
-    approx_count_distinct (run_mappings persists rsd-0.01 sketches), so
+    approx_count_distinct (run_mappings persists rsd-0.02 sketches), so
     exact equality on ``n_distinct`` would flag estimation jitter as
     drift; values within this relative tolerance are treated equal —
     mirroring profile_compare.  Set 0.0 for exact-count snapshots."""

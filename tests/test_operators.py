@@ -584,3 +584,26 @@ def test_simhash_signatures_and_pairs_match_python_oracle(spark):
         for r in simhash_near_dup(docs, "text", "doc_id", bands=4).collect()
     }
     assert got_pairs == exp_pairs
+
+
+def test_cosine_near_dup_arrow_equals_hof(spark):
+    """The Arrow matmul cell kernel and the pure-JVM HOF form must produce
+    identical pair membership (cosine may differ at fp-addition order)."""
+    from data_migration_validator_spark.operators.similarity import (
+        cosine_near_dup_exact,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_exact(
+            df, "vec_id", "embedding", threshold=0.4, impl="arrow"
+        ).collect()
+    }
+    h = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_exact(
+            df, "vec_id", "embedding", threshold=0.4, impl="hof"
+        ).collect()
+    }
+    assert a == h and a
