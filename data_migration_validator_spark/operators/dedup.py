@@ -176,6 +176,13 @@ def minhash_lsh_candidates(
 def jaccard(text_a, text_b, ngram: int = 3):
     """Exact n-gram Jaccard between two text columns (verification step)."""
     sa, sb = _shingles(text_a, ngram), _shingles(text_b, ngram)
+    return jaccard_arrays(sa, sb)
+
+
+def jaccard_arrays(sa, sb):
+    """Exact Jaccard between two PRECOMPUTED distinct-shingle arrays —
+    the per-pair verification kernel when shingles are materialized once
+    per document instead of re-tokenized per candidate pair."""
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     union = F.size(F.array_union(sa, sb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -191,23 +198,27 @@ def minhash_near_dup(
     ngram: int = 3,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
-    Jaccard ≥ threshold.  Output (id_a, id_b, jaccard)."""
+    Jaccard ≥ threshold.  Output (id_a, id_b, jaccard).
+
+    The verification joins PRECOMPUTED distinct-shingle arrays (one
+    tokenize+shingle pass per document, shared across both join sides via
+    a lazy localCheckpoint) instead of re-shingling the raw text per
+    candidate pair — per pair only the array intersect/union remains."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram)
-    docs = df.select(F.col(id_col), F.col(text_col))
+    sh = (
+        df.select(F.col(id_col), _shingles(text_col, ngram).alias("__sh"))
+        .localCheckpoint(eager=False)
+    )
     j = (
         cands.join(
-            docs.select(
-                F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
-            ),
+            sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")),
             "id_a",
         )
         .join(
-            docs.select(
-                F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
-            ),
+            sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")),
             "id_b",
         )
-        .withColumn("jaccard", jaccard("__ta", "__tb", ngram))
+        .withColumn("jaccard", jaccard_arrays(F.col("__sa"), F.col("__sb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
